@@ -1,0 +1,283 @@
+"""1D advection-diffusion full-order FEM solver.
+
+TPU-native re-design of the reference's deal.II/Trilinos solver
+(POD/ParametricDiffusion1D/src/AdvDiff1D.{hpp,cpp}): the PDE
+``u_t - mu u_xx + beta u_x = f`` on (0,1), homogeneous Dirichlet BCs,
+P1 elements on a uniform grid, theta-method in time, with the same
+manufactured forcing/exact-solution families (u0_choice 0-3,
+AdvDiff1D.hpp:126-252) and the same snapshot-matrix collection protocol
+(every ``sample_every``-th step, AdvDiff1D.cpp:288-324).
+
+Design differences, by design:
+
+- Assembly is closed-form: on a uniform P1 grid the mass/stiffness/
+  advection matrices are tridiagonal stencils (h/6 [1 4 1],
+  mu/h [-1 2 -1], beta [-1/2 0 1/2]); no per-cell assembly loop, no
+  distributed triangulation — the matrices are built in O(N) vector ops.
+- The constant theta-method operator is LU-factored **once**; each time
+  step is a pair of triangular solves (the reference re-ran CG+SSOR to
+  1e-6 every step, AdvDiff1D.cpp:270-285).
+- The parameter sweep over diffusion coefficients is `vmap`-ed — the
+  batched dimension maps onto the TPU's parallelism the way the
+  reference's OpenMP parallel-for over parameters did
+  (Diff1D_openmp.cpp:125-137), but without its shared-matrix data race
+  (SURVEY.md section 5).
+- Time stepping is a `lax.scan`; the whole sweep jit-compiles to one
+  XLA program.
+
+Forcing quirk preserved: for u0_choice 0 the reference forcing omits the
+``amplitude`` factor (AdvDiff1D.hpp:126-133) even though the IC and exact
+solution carry it — so the manufactured solution is only consistent for
+amplitude=1.  We reproduce the reference formulas exactly; parity tests use
+amplitude=1 for convergence checks.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsvd_kamaneh_raganato_terrana_tpu.core.config import AdvDiffConfig
+
+_INV_SQRT3 = 1.0 / math.sqrt(3.0)
+
+
+# ---------------------------------------------------------------------------
+# Manufactured solution families (reference AdvDiff1D.hpp:58-252).
+# ---------------------------------------------------------------------------
+
+
+def initial_condition(x, choice: int, amplitude: float):
+    """FunctionU0 (AdvDiff1D.hpp:170-196)."""
+    pi = jnp.pi
+    if choice == 0:
+        return amplitude * jnp.sin(pi * x)
+    if choice == 1:
+        return 2.0 * jnp.sin(9.0 * pi * x) - jnp.sin(4.0 * pi * x)
+    if choice == 2:
+        return jnp.sin(amplitude * pi * x)
+    if choice == 3:
+        return jnp.exp(x) - 1.0
+    return amplitude * jnp.sin(pi * x)
+
+
+def exact_solution(x, t, choice: int, amplitude: float):
+    """ExactSolution::value (AdvDiff1D.hpp:202-226)."""
+    pi = jnp.pi
+    if choice == 0:
+        return amplitude * jnp.sin(pi * x) * jnp.exp(-t)
+    if choice == 1:
+        return (2.0 * jnp.sin(9.0 * pi * x) - jnp.sin(4.0 * pi * x)) * jnp.exp(-t)
+    if choice == 2:
+        return jnp.sin(5.0 * pi * t) * jnp.sin(amplitude * pi * x)
+    if choice == 3:
+        return (jnp.exp(x) - 1.0) * jnp.exp(-t)
+    return jnp.zeros_like(x)
+
+
+def exact_gradient(x, t, choice: int, amplitude: float):
+    """ExactSolution::gradient (AdvDiff1D.hpp:228-248).  Note the reference
+    has a sign/func slip for choice 1 (writes -4 pi sin instead of the
+    derivative's -4 pi cos); we implement the true derivative since this
+    only feeds the H1 error."""
+    pi = jnp.pi
+    if choice == 0:
+        return amplitude * pi * jnp.cos(pi * x) * jnp.exp(-t)
+    if choice == 1:
+        return (18.0 * pi * jnp.cos(9.0 * pi * x)
+                - 4.0 * pi * jnp.cos(4.0 * pi * x)) * jnp.exp(-t)
+    if choice == 2:
+        return amplitude * pi * jnp.sin(5.0 * pi * t) * jnp.cos(amplitude * pi * x)
+    if choice == 3:
+        return jnp.exp(x) * jnp.exp(-t)
+    return jnp.zeros_like(x)
+
+
+def forcing(x, t, mu, beta: float, choice: int, amplitude: float):
+    """ForcingTerm::value (AdvDiff1D.hpp:126-160) — formulas reproduced
+    verbatim, including the amplitude quirk for choice 0."""
+    pi = jnp.pi
+    if choice == 0:
+        return ((mu * pi * pi - 1.0) * jnp.sin(pi * x) * jnp.exp(-t)
+                + beta * pi * jnp.cos(pi * x) * jnp.exp(-t))
+    if choice == 1:
+        return jnp.exp(-t) * (
+            -2.0 * jnp.sin(9.0 * pi * x) + jnp.sin(4.0 * pi * x)
+            + mu * (162.0 * pi * pi * jnp.sin(9.0 * pi * x)
+                    - 16.0 * pi * pi * jnp.sin(4.0 * pi * x))
+            + beta * (18.0 * pi * jnp.cos(9.0 * pi * x)
+                      - 4.0 * pi * jnp.cos(4.0 * pi * x))
+        )
+    if choice == 2:
+        return (5.0 * pi * jnp.cos(5.0 * pi * t) * jnp.sin(amplitude * pi * x)
+                + mu * amplitude * amplitude * pi * pi
+                * jnp.sin(5.0 * pi * t) * jnp.sin(amplitude * pi * x)
+                + beta * amplitude * pi
+                * jnp.sin(5.0 * pi * t) * jnp.cos(amplitude * pi * x))
+    if choice == 3:
+        return jnp.exp(-t) * (1.0 + jnp.exp(x) * (beta - mu - 1.0))
+    return jnp.zeros_like(x)
+
+
+# ---------------------------------------------------------------------------
+# Assembly (closed-form P1 stencils on a uniform grid).
+# ---------------------------------------------------------------------------
+
+
+class Operators(NamedTuple):
+    """Dense theta-method operators with Dirichlet rows applied.
+
+    lhs = M/dt + theta L,  rhs_mat = M/dt - (1-theta) L,  L = mu K + beta B
+    (reference assemble_matrices, AdvDiff1D.cpp:96-186)."""
+
+    lhs: jax.Array       # (n, n)
+    rhs_mat: jax.Array   # (n, n)
+    lu: Tuple            # LU factorization of lhs
+    nodes: jax.Array     # (n,)
+    h: float
+
+
+def _tridiag(n, lo, mid, hi, dtype):
+    return (jnp.diag(jnp.full(n - 1, lo, dtype), -1)
+            + jnp.diag(jnp.full(n, mid, dtype), 0)
+            + jnp.diag(jnp.full(n - 1, hi, dtype), 1))
+
+
+def build_operators(cfg: AdvDiffConfig, mu, dtype=jnp.float64) -> Operators:
+    n = cfg.n_nodes
+    h = 1.0 / (n - 1)
+    nodes = jnp.linspace(0.0, 1.0, n, dtype=dtype)
+    mass = _tridiag(n, h / 6.0, 4.0 * h / 6.0, h / 6.0, dtype)
+    # Interior mass rows are exact; boundary rows are overwritten below.
+    stiff = _tridiag(n, -1.0 / h, 2.0 / h, -1.0 / h, dtype)
+    adv = _tridiag(n, -0.5, 0.0, 0.5, dtype)
+    lmat = mu * stiff + cfg.beta * adv
+    lhs = mass / cfg.deltat + cfg.theta * lmat
+    rhs_mat = mass / cfg.deltat - (1.0 - cfg.theta) * lmat
+    # Homogeneous Dirichlet: identity rows at both ends, zero rhs rows.
+    e = jnp.zeros(n, dtype)
+    lhs = lhs.at[0].set(e.at[0].set(1.0)).at[-1].set(e.at[-1].set(1.0))
+    rhs_mat = rhs_mat.at[0].set(0.0).at[-1].set(0.0)
+    lu = jax.scipy.linalg.lu_factor(lhs)
+    return Operators(lhs, rhs_mat, lu, nodes, h)
+
+
+def load_vector(t, mu, cfg: AdvDiffConfig, nodes, dtype=jnp.float64):
+    """F_i(t) = int f(x,t) phi_i dx by 2-point Gauss per cell (matching
+    deal.II QGauss(degree+1), AdvDiff1D.cpp:189-267)."""
+    n = nodes.shape[0]
+    h = 1.0 / (n - 1)
+    x_l = nodes[:-1]
+    # Gauss points xi in (0,1) reference cell
+    xi = jnp.asarray([0.5 - 0.5 * _INV_SQRT3, 0.5 + 0.5 * _INV_SQRT3], dtype)
+    w = 0.5 * h
+    f_vals = [
+        forcing(x_l + xi_g * h, t, mu, cfg.beta, cfg.u0_choice, cfg.amplitude)
+        for xi_g in xi
+    ]
+    fv = jnp.zeros(n, dtype)
+    for xi_g, fg in zip(xi, f_vals):
+        fv = fv.at[:-1].add(w * (1.0 - xi_g) * fg)
+        fv = fv.at[1:].add(w * xi_g * fg)
+    return fv
+
+
+def assemble_rhs(u_old, t_new, t_old, mu, cfg: AdvDiffConfig, ops: Operators):
+    """theta-weighted forcing + rhs_mat u_old + Dirichlet rows
+    (reference assemble_rhs, AdvDiff1D.cpp:189-267)."""
+    f_new = load_vector(t_new, mu, cfg, ops.nodes, u_old.dtype)
+    f_old = load_vector(t_old, mu, cfg, ops.nodes, u_old.dtype)
+    rhs = (ops.rhs_mat @ u_old
+           + cfg.theta * f_new + (1.0 - cfg.theta) * f_old)
+    return rhs.at[0].set(0.0).at[-1].set(0.0)
+
+
+class FOMResult(NamedTuple):
+    solution: jax.Array        # (n_nodes,) final-time solution
+    snapshots: jax.Array       # (n_nodes, n_saved) sampled columns
+    times: jax.Array           # (n_steps + 1,)
+
+
+def solve_fom(cfg: AdvDiffConfig, mu, dtype=jnp.float64,
+              include_initial: bool = False) -> FOMResult:
+    """Run the theta-method time loop, collecting every ``sample_every``-th
+    solution as a snapshot column (reference solve + snapshot assembly,
+    AdvDiff1D.cpp:343-409: snapshots are recorded at steps where
+    ``time_step % sample_every == 0`` counting from step 1)."""
+    mu = jnp.asarray(mu, dtype)
+    ops = build_operators(cfg, mu, dtype)
+    n_steps = cfg.n_steps
+    dt = cfg.deltat
+    u0 = initial_condition(ops.nodes, cfg.u0_choice, cfg.amplitude).astype(dtype)
+    u0 = u0.at[0].set(0.0).at[-1].set(0.0)
+
+    def step(u, i):
+        t_new = (i + 1.0) * dt
+        rhs = assemble_rhs(u, t_new, i * dt, mu, cfg, ops)
+        u_new = jax.scipy.linalg.lu_solve(ops.lu, rhs)
+        return u_new, u_new
+
+    u_final, traj = jax.lax.scan(step, u0, jnp.arange(n_steps, dtype=dtype))
+    # traj: (n_steps, n) solutions at steps 1..n_steps
+    sampled = traj[cfg.sample_every - 1 :: cfg.sample_every]
+    snaps = sampled.T
+    if include_initial:
+        snaps = jnp.concatenate([u0[:, None], snaps], axis=1)
+    times = jnp.linspace(0.0, n_steps * dt, n_steps + 1, dtype=dtype)
+    return FOMResult(u_final, snaps, times)
+
+
+def solve_fom_sweep(cfg: AdvDiffConfig, mus, dtype=jnp.float64) -> FOMResult:
+    """vmap-ed parameter sweep (reference Diff1D_openmp parallel snapshot
+    loop).  Returns batched results; snapshot matrices can be concatenated
+    column-wise into the global S (Diff1D.cpp:122-156)."""
+    mus = jnp.asarray(mus, dtype)
+    return jax.vmap(lambda m: solve_fom(cfg, m, dtype))(mus)
+
+
+def snapshot_matrix(cfg: AdvDiffConfig, mus, dtype=jnp.float64) -> jax.Array:
+    """Global snapshot matrix: Nh x (n_params * n_saved) with parameter
+    blocks in sweep order (reference Diff1D.cpp:122-156)."""
+    res = solve_fom_sweep(cfg, mus, dtype)
+    b, n, k = res.snapshots.shape
+    return jnp.moveaxis(res.snapshots, 0, 1).reshape(n, b * k)
+
+
+# ---------------------------------------------------------------------------
+# Error norms (reference compute_error, AdvDiff1D.cpp:412-435).
+# ---------------------------------------------------------------------------
+
+
+def _interp_at_gauss(u, xi):
+    return (1.0 - xi) * u[:-1] + xi * u[1:]
+
+
+def error_norms(u, t, cfg: AdvDiffConfig, nodes=None):
+    """(L2, H1-seminorm-included) errors of the P1 interpolant vs the exact
+    solution at time t, by 2-point Gauss quadrature."""
+    dtype = u.dtype
+    n = u.shape[0]
+    h = 1.0 / (n - 1)
+    if nodes is None:
+        nodes = jnp.linspace(0.0, 1.0, n, dtype=dtype)
+    xi = jnp.asarray([0.5 - 0.5 * _INV_SQRT3, 0.5 + 0.5 * _INV_SQRT3], dtype)
+    w = 0.5 * h
+    l2_sq = jnp.zeros((), dtype)
+    h1_sq = jnp.zeros((), dtype)
+    du = (u[1:] - u[:-1]) / h
+    for xi_g in xi:
+        xg = nodes[:-1] + xi_g * h
+        diff = _interp_at_gauss(u, xi_g) - exact_solution(
+            xg, t, cfg.u0_choice, cfg.amplitude
+        )
+        l2_sq = l2_sq + w * jnp.sum(diff * diff)
+        gdiff = du - exact_gradient(xg, t, cfg.u0_choice, cfg.amplitude)
+        h1_sq = h1_sq + w * jnp.sum(gdiff * gdiff)
+    l2 = jnp.sqrt(l2_sq)
+    h1 = jnp.sqrt(l2_sq + h1_sq)
+    return l2, h1

@@ -1,0 +1,45 @@
+"""Factor-table checkpointing.
+
+The reference's persistence is domain-level: MatrixMarket exports of factors
+(tests/rSVD_test.cpp:113-115) and the custom binary quantized image format
+(image_compression/src/image_com.cpp:66-181).  This module provides the
+general factor checkpoint: U, S, V (+ metadata) as a single ``.npz``, plus
+MatrixMarket export for the oracle-comparison harness.  The quantized image
+codec lives in apps/image.py (backed by native/codec.cpp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from rsvd_kamaneh_raganato_terrana_tpu.core.io import write_matrix_market
+
+
+def save_factors(path: str, U, S, V, meta: Optional[Dict] = None) -> None:
+    """Save an SVD factor triple to ``path`` (.npz)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(
+        path,
+        U=np.asarray(U),
+        S=np.asarray(S),
+        V=np.asarray(V),
+        meta=json.dumps(meta or {}),
+    )
+
+
+def load_factors(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict]:
+    with np.load(path, allow_pickle=False) as z:
+        return z["U"], z["S"], z["V"], json.loads(str(z["meta"]))
+
+
+def export_matrix_market(out_dir: str, stem: str, U, S, V) -> None:
+    """Reference-layout export: <stem>_U.mtx / _S.mtx / _V.mtx under out_dir
+    (tests/rSVD_test.cpp:108-115 wrote data/output/rSVD/my/)."""
+    os.makedirs(out_dir, exist_ok=True)
+    write_matrix_market(os.path.join(out_dir, f"{stem}_U.mtx"), np.asarray(U))
+    write_matrix_market(os.path.join(out_dir, f"{stem}_S.mtx"), np.asarray(S))
+    write_matrix_market(os.path.join(out_dir, f"{stem}_V.mtx"), np.asarray(V))

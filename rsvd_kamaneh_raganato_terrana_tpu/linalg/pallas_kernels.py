@@ -1,0 +1,166 @@
+"""Pallas TPU kernels for the rSVD hot path.
+
+The reference's native layer is hand-written C++/MPI/OpenMP loops; the TPU
+counterpart is XLA GEMMs for everything the compiler already schedules
+optimally, plus Pallas kernels where manual fusion beats XLA:
+
+- ``fused_sketch_matmul`` — stage A's Y = A @ Omega with the Gaussian test
+  matrix generated **inside the kernel** (per-tile counter-based PRNG +
+  Box-Muller on the VPU, fed straight into MXU dot tiles).  Omega
+  (n x l floats) never exists in HBM: for the 100k x 100k rank-128 north
+  star that removes ~51 MB of HBM traffic per power iteration and the
+  whole allocation.  The reference instead materialized Omega with a
+  Gatherv+Bcast round (src/rSVD.cpp:12-55).
+- ``quantize_uint8`` — the affine factor quantizer of the image codec
+  (native/codec.cpp's device-side twin) as a single VPU pass.
+
+Both kernels run in interpret mode on CPU (tests/test_pallas.py) and
+compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+TWO_PI = 2.0 * math.pi
+
+
+def _mix(h):
+    """murmur3 finalizer — a counter-based uint32 mixer.  Stateless and
+    keyed purely on global indices, so the draw is bit-identical on every
+    backend, block decomposition, and device count (the same property the
+    threefry host sketch has, unlike pltpu.prng_seed whose stream is
+    per-core and unavailable in interpret mode)."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def _bits_to_unit_floats(bits):
+    """uint32 -> float32 in (0, 1): top 24 bits for a dense dyadic grid,
+    offset away from 0 so log() is safe."""
+    f = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.maximum(f, 1e-12)
+
+
+def _gaussian_tile(seed, row0, block_k: int, l_pad: int):
+    """Box-Muller normals for the omega tile at global rows
+    [row0, row0+block_k) x [0, l_pad), hashed from (seed, global index)."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (block_k, l_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (block_k, l_pad), 1)
+    idx = (rows + row0.astype(jnp.uint32)) * jnp.uint32(l_pad) + cols
+    h0 = _mix(idx ^ _mix(seed.astype(jnp.uint32)))
+    h1 = _mix(h0 ^ jnp.uint32(0x68BC21EB))
+    u1 = _bits_to_unit_floats(h0)
+    u2 = _bits_to_unit_floats(h1)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+
+
+def _sketch_kernel(seed_ref, a_ref, y_ref, *, block_k: int, l_pad: int):
+    """Grid (m_tiles, k_tiles): accumulate y[i] += a[i, k] @ omega[k] with
+    omega tiles drawn deterministically from (seed, global row index)."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    row0 = k_idx * block_k
+    omega = _gaussian_tile(seed_ref[0], row0, block_k, l_pad)
+    y_ref[:] += jnp.dot(a_ref[:], omega, preferred_element_type=jnp.float32)
+
+
+def fused_sketch_matmul(a, l: int, seed: int = 0, block_m: int = 512,
+                        block_k: int = 512, interpret: bool | None = None):
+    """Y = A @ Omega with Omega ~ N(0,1)^(n x l) generated in-kernel.
+
+    Returns (m x l) float32.  Deterministic in (seed, l) only — independent
+    of block decomposition and backend; the draw differs from
+    `generate_omega`'s threefry stream — this is the performance variant
+    selected with ``rsvd(..., sketch='fused')``.
+    """
+    m, n = a.shape
+    if interpret is None:
+        interpret = not _is_tpu()
+    l_pad = max(128, ((l + 127) // 128) * 128)
+    block_m = min(block_m, m)
+    block_k = min(block_k, n)
+    # shrink blocks to divide evenly (pad would also work; inputs here are
+    # typically powers of two)
+    while m % block_m:
+        block_m //= 2
+    while n % block_k:
+        block_k //= 2
+    grid = (m // block_m, n // block_k)
+
+    kernel = functools.partial(_sketch_kernel, block_k=block_k, l_pad=l_pad)
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (block_m, block_k),
+                    # with num_scalar_prefetch=1 index maps receive the
+                    # scalar ref as a trailing argument
+                    lambda i, k, seed_ref: (i, k),
+                ),
+            ],
+            out_specs=pl.BlockSpec((block_m, l_pad),
+                                   lambda i, k, seed_ref: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, l_pad), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), a.astype(jnp.float32))
+    return y[:, :l]
+
+
+def _quantize_kernel(x_ref, lo_ref, scale_ref, q_ref):
+    lo = lo_ref[0]
+    inv = 1.0 / scale_ref[0]
+    q = jnp.round((x_ref[:] - lo) * inv)
+    q_ref[:] = jnp.clip(q, 0.0, 255.0).astype(jnp.uint8)
+
+
+def quantize_uint8(x, interpret: bool | None = None):
+    """Device-side affine uint8 quantization (codec twin): returns
+    (q, scale, offset)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    x = x.astype(jnp.float32)
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    scale = jnp.maximum((hi - lo) / 255.0, jnp.finfo(jnp.float32).tiny)
+    q = pl.pallas_call(
+        _quantize_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            memory_space=pltpu.ANY if interpret else pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint8),
+        interpret=interpret,
+    )(x, lo[None], scale[None])
+    return q, scale, lo

@@ -1,0 +1,163 @@
+"""Thin/full QR factorization, TPU-native.
+
+The reference builds QR from scalar Givens rotations (src/QR.cpp:12-80 and
+the QRDecomposition class hierarchy, image_compression/src/QR.cpp) — an
+inherently sequential, scalar-rotation algorithm that cannot use a systolic
+matmul unit.  The TPU-native equivalent with the same (Q, R) contract (up to
+column signs) is **CholeskyQR2**: Gram matrix -> Cholesky -> triangular
+solve, done twice for numerical stability, optionally with a spectral shift
+(shifted CholeskyQR3) when the sketch is ill-conditioned (the reference's
+"family A" matrices, report p.13).  Every step is a large GEMM or a tiny
+replicated l x l factorization, exactly matching the rSVD access pattern:
+tall-skinny Y (row-sharded over the mesh) with l <= a few hundred columns.
+
+For row-sharded inputs the Gram matmul is a per-shard GEMM + XLA-inserted
+psum; the l x l Cholesky and triangular solve run replicated on every
+device — the same "replicated small-problem tail" structure the reference
+used (src/rSVD.cpp:89-128).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
+
+
+def _gram(a):
+    return jnp.matmul(a.T, a, precision=DOT_PRECISION,
+                      preferred_element_type=a.dtype)
+
+
+def _chol_maybe_shifted(g, n_rows: int):
+    """Cholesky of G with an automatic shifted retry.
+
+    If G is numerically indefinite (rank-deficient or cond(A) near
+    1/sqrt(eps)), plain Cholesky produces NaNs; we then retry with the
+    shift  s = 11 (m l + l (l+1)) eps ||G||_2-ish  from the shifted
+    CholeskyQR literature (Fukaya et al. 2020).  Both factorizations are
+    l x l and replicated, so computing the backup is nearly free relative
+    to the Gram GEMM.
+    """
+    l = g.shape[-1]
+    eps = jnp.finfo(g.dtype).eps
+    norm_g = jnp.linalg.norm(g)
+    shift = 11.0 * (n_rows * l + l * (l + 1)) * eps * norm_g
+    eye = jnp.eye(l, dtype=g.dtype)
+
+    c_plain = jnp.linalg.cholesky(g)
+    bad = ~jnp.all(jnp.isfinite(c_plain))
+    # Near-singular (not only failing) Grams also degrade CholeskyQR2:
+    # accuracy needs cond(A)^2 * eps << 1.  diag(chol) tracks the singular
+    # value scale, so flag when (min/max)^2 falls under ~100 eps
+    # (cond(A) > 1/(10 sqrt(eps)): ~300 in f32, ~6.7e6 in f64).
+    diag = jnp.abs(jnp.diagonal(c_plain))
+    min_d, max_d = jnp.nanmin(diag), jnp.nanmax(diag)
+    tiny_diag = ~(min_d * min_d > 100.0 * eps * max_d * max_d)
+    c_shift = jnp.linalg.cholesky(g + shift * eye)
+    # If even the shifted factorization fails (pathological), fall back to a
+    # large diagonal regularization so downstream stays finite.
+    bad2 = ~jnp.all(jnp.isfinite(c_shift))
+    c_last = jnp.linalg.cholesky(g + (norm_g + 1.0) * eye)
+    c = jnp.where(bad, jnp.where(bad2, c_last, c_shift), c_plain)
+    return c, bad | bad2 | tiny_diag
+
+
+def _solve_right_upper(a, r):
+    """Return A @ R^{-1} for upper-triangular R via a triangular solve
+    (never forms the inverse)."""
+    return jax.lax.linalg.triangular_solve(
+        r, a, left_side=False, lower=False, transpose_a=False
+    )
+
+
+def _cholesky_qr_flagged(a):
+    g = _gram(a)
+    c, degraded = _chol_maybe_shifted(g, a.shape[0])
+    r = c.T
+    q = _solve_right_upper(a, r)
+    return q, r, degraded
+
+
+def cholesky_qr(a):
+    """Single-pass CholeskyQR: Q = A R^{-1}, R = chol(A^T A)^T."""
+    q, r, _ = _cholesky_qr_flagged(a)
+    return q, r
+
+
+def cholesky_qr2(a):
+    """CholeskyQR2 — orthogonality error O(eps) for cond(A) < ~1/sqrt(eps).
+
+    The drop-in TPU replacement for the reference's
+    ``qr_decomposition_reduced`` (src/QR.cpp:43-80): same thin (Q, R)
+    contract, but built from two GEMM+Cholesky passes that run at MXU speed
+    instead of O(m n^2) sequential Givens rotations.
+    """
+    q, r = robust_cholesky_qr2(a)[:2]
+    return q, r
+
+
+def robust_cholesky_qr2(a):
+    """(Q, R, degraded): CholeskyQR2 plus a flag marking inputs (rank
+    deficiency / cond ~ 1/sqrt(eps)) where a Householder fallback is
+    required for full accuracy."""
+    q1, r1, d1 = _cholesky_qr_flagged(a)
+    q2, r2, d2 = _cholesky_qr_flagged(q1)
+    return q2, jnp.matmul(r2, r1, precision=DOT_PRECISION), d1 | d2
+
+
+def cholesky_qr3(a):
+    """Three-pass variant for ill-conditioned (but full-rank) inputs (the
+    reference's slow-decay family A)."""
+    q1, r1, _ = _cholesky_qr_flagged(a)
+    q2, r2 = cholesky_qr2(q1)
+    return q2, jnp.matmul(r2, r1, precision=DOT_PRECISION)
+
+
+def qr_reduced(a, method: str = "robust"):
+    """Reduced QR: Q (m x n), R (n x n) for m >= n.
+
+    ``method``:
+    - ``robust`` (default): CholeskyQR2, with a `lax.cond` fallback to
+      Householder when the Gram factorization degrades — rank-deficient
+      sketches are the *normal* case when rSVD oversamples a low-rank
+      matrix, and no Cholesky-based method can orthonormalize columns
+      beyond the numerical rank (Householder completes the basis, the role
+      Eigen HouseholderQR played at src/rSVD.cpp:60-69).  The fallback
+      branch only executes when taken, so the fast path stays two GEMMs.
+    - ``cholqr2`` / ``cholqr3``: pure CholeskyQR (benchmark/HPC path,
+      full-rank well-conditioned inputs).
+    - ``householder``: XLA's built-in QR.
+    """
+    if method == "robust":
+        q, r, degraded = robust_cholesky_qr2(a)
+
+        def _householder(op):
+            res = jnp.linalg.qr(op, mode="reduced")
+            return res[0], res[1]  # QRResult namedtuple -> plain tuple
+
+        return jax.lax.cond(degraded, _householder, lambda _: (q, r), a)
+    if method == "cholqr2":
+        return cholesky_qr2(a)
+    if method == "cholqr3":
+        return cholesky_qr3(a)
+    if method == "householder":
+        return jnp.linalg.qr(a, mode="reduced")
+    raise ValueError(f"unknown QR method {method!r}")
+
+
+def qr_full(a):
+    """Full QR: Q (m x m), R (m x n) — reference qr_decomposition_full
+    (src/QR.cpp:22-41)."""
+    return jnp.linalg.qr(a, mode="complete")
+
+
+def orthonormal_basis(y, method: str = "robust"):
+    """Thin orthonormal basis of range(Y) — the projection step used
+    throughout rSVD stage A (reference: HouseholderQR + thin-Q extraction,
+    src/rSVD.cpp:60-61)."""
+    q, _ = qr_reduced(y, method)
+    return q

@@ -1,0 +1,126 @@
+"""Method-dispatched SVD engine.
+
+The TPU counterpart of the reference's header-only ``SVD<SVDMethod>``
+template class (include/SVD_class.hpp:28-97): an enum of three engines —
+Jacobi, Power, ParallelJacobi — behind one interface with optional
+truncation rank r.  The reference dispatched with ``if constexpr``; here
+the dispatch picks a jitted kernel:
+
+- ``Jacobi``          -> one-sided tournament Jacobi, VPU scatter rotations
+                         (linalg/jacobi.py), the analogue of `jacobiSVD`.
+- ``ParallelJacobi``  -> same sweeps with rotation rounds applied as MXU
+                         GEMMs — the blocked/parallel variant standing in
+                         for the OpenMP weight-sorted `ParallelJacobiSVD`.
+- ``Power``           -> power iteration with deflation (linalg/power.py).
+
+API parity notes: the class form mirrors the reference ctor
+``SVD(data, r=0)`` + ``compute()`` + ``getU/getS/getV`` so ported user code
+reads the same; the functional `svd()` is the idiomatic JAX entry point.
+Unlike the reference, V is returned in the standard orientation for every
+method (the reference's Power path returned V transposed —
+SVD_class.hpp:214 — and made callers compensate; we do not replicate that).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.jacobi import jacobi_svd
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.power import power_svd
+
+
+class SVDMethod(enum.Enum):
+    Jacobi = "jacobi"
+    Power = "power"
+    ParallelJacobi = "parallel_jacobi"
+
+    @classmethod
+    def parse(cls, value) -> "SVDMethod":
+        if isinstance(value, cls):
+            return value
+        return cls(str(value).lower())
+
+
+def svd(
+    a,
+    method: SVDMethod | str = SVDMethod.Jacobi,
+    r: int = 0,
+    **kwargs,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Compute A = U diag(s) V^T; truncate to rank ``r`` if r > 0
+    (reference semantics: r=0 means full min(m,n) decomposition)."""
+    method = SVDMethod.parse(method)
+    a = jnp.asarray(a)
+    if method is SVDMethod.Jacobi:
+        u, s, v = jacobi_svd(a, apply="scatter", **kwargs)
+    elif method is SVDMethod.ParallelJacobi:
+        u, s, v = jacobi_svd(a, apply="gemm", **kwargs)
+    elif method is SVDMethod.Power:
+        k = r if r > 0 else min(a.shape)
+        res = power_svd(a, k=k, **kwargs)
+        u, s, v = res.u, res.s, res.v
+    else:  # pragma: no cover
+        raise ValueError(method)
+    if r > 0:
+        u, s, v = u[:, :r], s[:r], v[:, :r]
+    return u, s, v
+
+
+class SVD:
+    """Class-style engine mirroring the reference API
+    (include/SVD_class.hpp:35-71)."""
+
+    def __init__(self, data, r: int = 0,
+                 method: SVDMethod | str = SVDMethod.Jacobi):
+        self._data = jnp.asarray(data)
+        self._r = int(r)
+        self._method = SVDMethod.parse(method)
+        self._u = self._s = self._v = None
+
+    # -- reference API ----------------------------------------------------
+    def setData(self, data):  # noqa: N802  (reference name)
+        self._data = jnp.asarray(data)
+        self._u = self._s = self._v = None
+        return self
+
+    def compute(self, **kwargs) -> "SVD":
+        self._u, self._s, self._v = svd(
+            self._data, self._method, self._r, **kwargs
+        )
+        return self
+
+    def getU(self):  # noqa: N802
+        self._ensure()
+        return self._u
+
+    def getS(self):  # noqa: N802
+        self._ensure()
+        return self._s
+
+    def getV(self):  # noqa: N802
+        self._ensure()
+        return self._v
+
+    # -- conveniences -----------------------------------------------------
+    @property
+    def rank(self) -> int:
+        return self._r
+
+    @property
+    def method(self) -> SVDMethod:
+        return self._method
+
+    def reconstruction(self):
+        self._ensure()
+        return (self._u * self._s[None, :]) @ self._v.T
+
+    def reconstruction_error(self):
+        return jnp.linalg.norm(self._data - self.reconstruction())
+
+    def _ensure(self):
+        if self._u is None:
+            self.compute()

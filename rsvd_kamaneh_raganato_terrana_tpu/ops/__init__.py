@@ -1,0 +1,18 @@
+"""Sharded primitive ops (TPU counterpart of the reference's MPI layer)."""
+
+from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import (  # noqa: F401
+    DOT_PRECISION,
+    frobenius_norm,
+    generate_gaussian_sharded,
+    gram,
+    gram_sharded,
+    matmul,
+    matmul_sharded,
+    matvec,
+    matvec_sharded,
+    norm_sharded,
+    normalize,
+    normalize_sharded,
+    transpose,
+    transpose_sharded,
+)

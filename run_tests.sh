@@ -1,0 +1,10 @@
+#!/bin/bash
+# CPU test runner.
+#
+# IMPORTANT: PYTHONPATH is overridden to drop /root/.axon_site so the axon
+# TPU sitecustomize hook does not register a TPU session for CPU-only test
+# runs (the relay is single-session; concurrent registrations deadlock).
+cd "$(dirname "$0")"
+exec env PYTHONPATH="$(pwd)" JAX_PLATFORMS=cpu \
+    XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+    python -m pytest tests/ "$@"

@@ -1,0 +1,92 @@
+"""Sharded primitive gallery tests — the TPU counterpart of the reference's
+MPI micro-benchmark self-checks (image_compression/mpi/*.cpp, each verified
+against Eigen).  Here each collective contract is verified against plain
+NumPy on an 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsvd_kamaneh_raganato_terrana_tpu.core import mesh as meshlib
+from rsvd_kamaneh_raganato_terrana_tpu.ops import primitives as ops
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_matvec_sharded(mesh8, rng):
+    a = rng.standard_normal((64, 40))
+    x = rng.standard_normal(40)
+    y = ops.matvec_sharded(mesh8, jnp.asarray(a), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_matmul_sharded(mesh8, rng):
+    a = rng.standard_normal((64, 32))
+    b = rng.standard_normal((32, 24))
+    c = ops.matmul_sharded(mesh8, jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(c), a @ b, rtol=1e-12, atol=1e-12)
+
+
+def test_norm_sharded(mesh8, rng):
+    a = rng.standard_normal((64, 40))
+    n = ops.norm_sharded(mesh8, jnp.asarray(a))
+    np.testing.assert_allclose(float(n), np.linalg.norm(a), rtol=1e-12)
+
+
+def test_normalize_sharded(mesh8, rng):
+    x = rng.standard_normal(64)
+    y = ops.normalize_sharded(mesh8, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), x / np.linalg.norm(x), rtol=1e-12)
+
+
+def test_transpose_sharded(mesh8, rng):
+    a = rng.standard_normal((64, 64))
+    at = ops.transpose_sharded(mesh8, jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(at), a.T, rtol=1e-15)
+
+
+def test_gram_sharded(mesh8, rng):
+    a = rng.standard_normal((64, 24))
+    g = ops.gram_sharded(mesh8, jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(g), a.T @ a, rtol=1e-11)
+
+
+def test_gaussian_sharded_matches_unsharded(mesh8):
+    """Shard-count invariance: the property the reference's per-rank RNG
+    (mt19937(rd()+rank), src/rSVD.cpp:28) did NOT have."""
+    key = jax.random.PRNGKey(7)
+    sharded = ops.generate_gaussian_sharded(mesh8, key, (64, 16), jnp.float64)
+    local = jax.random.normal(key, (64, 16), jnp.float64)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(local))
+
+
+def test_implicit_sharded_matmul_matches(mesh8, rng):
+    """Preferred style: NamedSharding inputs + plain jnp under jit — XLA
+    inserts the collectives."""
+    a = rng.standard_normal((64, 48))
+    b = rng.standard_normal((48, 8))
+    a_sh = meshlib.shard_rows(jnp.asarray(a), mesh8)
+    c = jax.jit(ops.matmul)(a_sh, jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(c), a @ b, rtol=1e-12, atol=1e-12)
+
+
+def test_uneven_rows_sharding(mesh8, rng):
+    """Remainder handling: 67 rows over 8 devices (the reference's
+    rows_per_proc/rows_remainder idiom, PM.cpp:31-35).  JAX requires the
+    sharded dim to divide the device count, so the contract here is
+    explicit zero-padding — mathematically transparent for Gram/matmul
+    reductions — via pad_rows_for_mesh."""
+    a = rng.standard_normal((67, 16))
+    a_pad, n_orig = meshlib.pad_rows_for_mesh(jnp.asarray(a), mesh8)
+    assert n_orig == 67 and a_pad.shape[0] % 8 == 0
+    a_sh = meshlib.shard_rows(a_pad, mesh8)
+    g = jax.jit(ops.gram)(a_sh)
+    np.testing.assert_allclose(np.asarray(g), a.T @ a, rtol=1e-11, atol=1e-12)
+    # and a clear error for direct uneven sharding
+    import pytest
+
+    with pytest.raises(ValueError):
+        meshlib.shard_rows(jnp.asarray(a), mesh8)

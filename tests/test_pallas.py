@@ -1,0 +1,72 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.pallas_kernels import (
+    fused_sketch_matmul,
+    quantize_uint8,
+)
+
+
+def test_fused_sketch_statistics(rng):
+    """Y = A Omega with in-kernel Omega: verify by recovering Omega via
+    A = I, then checking normality + determinism."""
+    n, l = 256, 16
+    eye = jnp.eye(n, dtype=jnp.float32)
+    omega = np.asarray(fused_sketch_matmul(eye, l, seed=1, block_m=128,
+                                           block_k=128, interpret=True))
+    assert omega.shape == (n, l)
+    assert abs(omega.mean()) < 0.1
+    assert 0.85 < omega.std() < 1.15
+    # deterministic
+    omega2 = np.asarray(fused_sketch_matmul(eye, l, seed=1, block_m=128,
+                                            block_k=128, interpret=True))
+    np.testing.assert_array_equal(omega, omega2)
+    # different seed -> different draw
+    omega3 = np.asarray(fused_sketch_matmul(eye, l, seed=2, block_m=128,
+                                            block_k=128, interpret=True))
+    assert not np.array_equal(omega, omega3)
+
+
+def test_fused_sketch_is_matmul(rng):
+    """Y must equal A @ Omega with the same Omega (recovered via identity)."""
+    n, l = 256, 8
+    a = rng.standard_normal((128, n)).astype(np.float32)
+    eye = jnp.eye(n, dtype=jnp.float32)
+    kw = dict(l=l, seed=3, block_m=128, block_k=128, interpret=True)
+    omega = np.asarray(fused_sketch_matmul(eye, **kw))
+    y = np.asarray(fused_sketch_matmul(jnp.asarray(a), **kw))
+    np.testing.assert_allclose(y, a @ omega, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_sketch_in_rsvd_pipeline(rng):
+    """Full rSVD using the fused sketch: reconstruction quality matches the
+    threefry-sketch pipeline on a low-rank matrix."""
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import orthonormal_basis
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd_with_omega
+
+    a = (rng.standard_normal((256, 12)) @
+         rng.standard_normal((12, 256))).astype(np.float32)
+    a_dev = jnp.asarray(a)
+    y = fused_sketch_matmul(a_dev, 24, seed=0, block_m=128, block_k=128,
+                            interpret=True)
+    # finish the pipeline manually from Y
+    q = orthonormal_basis(y.astype(jnp.float32))
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import svd as small_svd
+
+    b = q.T @ a_dev
+    u_t, s, v = small_svd(b, "jacobi")
+    u = q @ u_t
+    recon = np.asarray((u * s[None, :]) @ v.T)
+    rel = np.linalg.norm(recon - a) / np.linalg.norm(a)
+    assert rel < 1e-4
+
+
+def test_quantize_uint8(rng):
+    x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32)) * 5.0
+    q, scale, lo = quantize_uint8(x, interpret=True)
+    assert q.dtype == jnp.uint8
+    back = np.asarray(q, dtype=np.float64) * float(scale) + float(lo)
+    assert np.abs(back - np.asarray(x)).max() <= float(scale) * 0.51 + 1e-6

@@ -1,0 +1,119 @@
+"""End-to-end rSVD tests — the reference's core integration test
+(tests/rSVD_test.cpp: every input .mtx, k=0/p=16 => l=16, Jacobi tail,
+pass = ||A - U S V^T||_F) plus the NumPy/sklearn oracle comparison
+(python/test_run_rSVD.py, compare_rSVD.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import shard_rows
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import SVD, SVDMethod, svd
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
+    generate_omega,
+    reconstruction_error,
+    rsvd,
+    rsvd_image_preset,
+)
+
+
+def _optimal_error(a, l):
+    s = np.linalg.svd(np.asarray(a), compute_uv=False)
+    return float(np.sqrt((s[l:] ** 2).sum()))
+
+
+@pytest.mark.parametrize("method", ["jacobi", "parallel_jacobi", "power"])
+def test_rsvd_low_rank_exact(method, rng):
+    """Rank-8 matrix, l=16 sketch: reconstruction must be ~exact (the
+    reference's family B/C behavior, report p.13-14)."""
+    a = rng.standard_normal((120, 80)) @ np.diag([1e2] * 8 + [0] * 72) @ \
+        rng.standard_normal((80, 80))
+    a = jnp.asarray(a)
+    u, s, v = rsvd(a, k=0, p=16, q=2, method=method)
+    err = float(reconstruction_error(a, u, s, v))
+    assert err < 1e-6 * float(jnp.linalg.norm(a))
+
+
+def test_rsvd_reference_inputs(input_matrices):
+    """The rSVD_test.cpp protocol: l=16 Jacobi rSVD over every reference
+    input; error must be near the optimal rank-16 truncation."""
+    for name, a in input_matrices.items():
+        u, s, v = rsvd(jnp.asarray(a), k=0, p=16, q=2, method="jacobi")
+        err = float(reconstruction_error(a, u, s, v))
+        opt = _optimal_error(a, 16)
+        # Power iterations (q=2) put us within a few percent of optimal.
+        assert err <= opt * 1.05 + 1e-9, (name, err, opt)
+
+
+def test_rsvd_oracle_spectrum(rng):
+    """Singular values of the sketch-projected problem vs np.linalg.svd.
+    A flat Gaussian spectrum is the hardest case for randomized methods
+    (the reference's family A, report p.13), so the tolerance is a few
+    percent; with spectral decay (next assert) accuracy is much tighter."""
+    a = rng.standard_normal((100, 100))
+    u, s, v = rsvd(jnp.asarray(a), k=10, p=10, q=3)
+    s_np = np.linalg.svd(a, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s), s_np[:10], rtol=5e-2)
+    assert float(s[0]) <= s_np[0] * (1 + 1e-9)  # Rayleigh bound
+
+    # decaying spectrum: tight agreement
+    d = rng.standard_normal((100, 100)) * np.logspace(0, -6, 100)[None, :]
+    u2, s2, v2 = rsvd(jnp.asarray(d), k=10, p=10, q=3)
+    d_np = np.linalg.svd(d, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s2), d_np[:10], rtol=1e-6)
+
+
+def test_rsvd_truncation_and_shapes(rng):
+    a = jnp.asarray(rng.standard_normal((50, 30)))
+    u, s, v = rsvd(a, k=7, p=5, q=1)
+    assert u.shape == (50, 7) and s.shape == (7,) and v.shape == (30, 7)
+
+
+def test_rsvd_deterministic(rng):
+    a = jnp.asarray(rng.standard_normal((40, 40)))
+    u1, s1, v1 = rsvd(a, k=5, seed=3)
+    u2, s2, v2 = rsvd(a, k=5, seed=3)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    u3, s3, v3 = rsvd(a, k=5, seed=4)
+    assert not np.array_equal(np.asarray(u1), np.asarray(u3))
+
+
+def test_rsvd_sharded_matches_single(mesh8, rng):
+    """1-device vs 8-device parity: identical factors because the sketch is
+    shard-count-invariant (unlike the reference's rank-seeded RNG)."""
+    a = rng.standard_normal((256, 64))
+    u1, s1, v1 = rsvd(jnp.asarray(a), k=8, p=8, q=2)
+    a_sh = shard_rows(jnp.asarray(a), mesh8)
+    u2, s2, v2 = rsvd(a_sh, k=8, p=8, q=2)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-9)
+
+
+def test_image_preset_default_rank(rng):
+    a = jnp.asarray(rng.standard_normal((64, 48)))
+    u, s, v = rsvd_image_preset(a)  # k = min/4 = 12 (image_com.cpp:294-298)
+    assert u.shape[1] == 12
+
+
+def test_svd_engine_class(rng):
+    """Reference SVD_class API: ctor(data, r) + compute + getU/getS/getV."""
+    a = rng.standard_normal((30, 30))
+    for method in SVDMethod:
+        eng = SVD(a, r=5, method=method).compute()
+        assert eng.getU().shape == (30, 5)
+        assert eng.getS().shape == (5,)
+        assert eng.getV().shape == (30, 5)
+        s_np = np.linalg.svd(a, compute_uv=False)
+        np.testing.assert_allclose(np.asarray(eng.getS()), s_np[:5],
+                                   rtol=1e-5)
+
+
+def test_generate_omega_shape_and_determinism():
+    o1 = generate_omega(0, 50, 16, jnp.float64)
+    o2 = generate_omega(0, 50, 16, jnp.float64)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert o1.shape == (50, 16)
+    # standard normal-ish
+    assert abs(float(o1.mean())) < 0.1
+    assert 0.8 < float(o1.std()) < 1.2
