@@ -151,7 +151,11 @@ class Image:
             lambda i: jax.random.normal(fold_in_shard(key, i), (tw, l), dtype)
         )(jnp.arange(gy * gx))
         tiles_dev = jnp.asarray(tiles, dtype=dtype)
-        if mesh is not None:
+        if mesh is not None and (gy * gx) % mesh.devices.size == 0:
+            # shard the tile batch axis; skip sharding (replicate) when the
+            # tile count doesn't divide the device count — unlike the
+            # reference, which aborted on non-square process counts
+            # (image_com.cpp:333-337)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             spec = NamedSharding(mesh, P(mesh.axis_names[0]))

@@ -245,8 +245,12 @@ def jacobi_svd(
         apply = "gemm" if n <= 256 else "scatter"
 
     if precondition and m > n:
-        # Thin QR first: sweeps then run on the n x n R factor.
-        q0, r0 = jnp.linalg.qr(a, mode="reduced")
+        # Thin QR first: sweeps then run on the n x n R factor.  Robust
+        # CholeskyQR2 (Householder fallback on degradation) instead of
+        # plain Householder: two MXU GEMMs in the common case.
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
+
+        q0, r0 = qr_reduced(a, "robust")
         ur, s, v, _ = _jacobi_core(r0, tol, max_sweeps, apply)
         u = jnp.matmul(q0, ur, precision=DOT_PRECISION)
         return u, s, v

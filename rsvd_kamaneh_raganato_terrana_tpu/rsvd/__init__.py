@@ -2,9 +2,12 @@
 
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     generate_omega,
+    power_refine,
     reconstruct,
     reconstruction_error,
     rsvd,
     rsvd_image_preset,
+    rsvd_with_omega,
     subspace_iteration,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import rsvd_streaming  # noqa: F401

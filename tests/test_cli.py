@@ -1,0 +1,135 @@
+"""CLI entry-point tests (reference mains: image main.cpp, PCA main.cpp,
+Diff1D drivers) — invoked in-process with tiny inputs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import DATA_DIR
+
+
+def test_pca_main(tmp_path, capsys):
+    from rsvd_kamaneh_raganato_terrana_tpu.apps.pca_main import main
+
+    out = str(tmp_path / "res.txt")
+    main([os.path.join(DATA_DIR, "pca", "dataset_athletic.txt"), "yes",
+          "--save", out])
+    text = capsys.readouterr().out
+    assert "Importance of components" in text
+    assert os.path.exists(out)
+
+
+def test_image_main(tmp_path, capsys):
+    from PIL import Image as PILImage
+
+    from rsvd_kamaneh_raganato_terrana_tpu.apps.image_main import main
+
+    rng = np.random.default_rng(0)
+    low = rng.standard_normal((64, 4)) @ rng.standard_normal((4, 64))
+    low = ((low - low.min()) / (low.max() - low.min()) * 255).astype(np.uint8)
+    src = str(tmp_path / "src.png")
+    PILImage.fromarray(low, mode="L").save(src)
+
+    main([src, "--k", "6", "--grid", "2x2", "--downscale", "1",
+          "--out-dir", str(tmp_path)])
+    text = capsys.readouterr().out
+    assert "compression ratio" in text
+    assert os.path.exists(str(tmp_path / "src_compressed.png"))
+    assert os.path.exists(str(tmp_path / "src_factors.rsv"))
+
+
+def _write_pod_inputs(tmp_path):
+    pod = tmp_path / "pod.txt"
+    pod.write_text(
+        "dim 1\nn 2\nmu_min 0.01\nmu_max 0.05\nmu_new 0.03\nrank 8\n"
+        "tol 1e-12\npod_type 1\nsvd_type 1\nrom_sizes 2 4\n"
+    )
+    prm = tmp_path / "adv.prm"
+    prm.write_text(
+        "set beta = 0.2\nset u0_choice = 0\nset amplitude = 1.0\n"
+        "set N = 39\nset degree = 1\nset T = 0.02\nset deltat = 1e-3\n"
+        "set theta = 1.0\nset sample_every = 2\n"
+    )
+    return str(pod), str(prm)
+
+
+def test_pod_main_standard(tmp_path, capsys):
+    from rsvd_kamaneh_raganato_terrana_tpu.apps.pod_main import main
+
+    pod, prm = _write_pod_inputs(tmp_path)
+    main([pod, prm, "--out-dir", str(tmp_path / "out")])
+    text = capsys.readouterr().out
+    assert "rom_size" in text and "exports" in text
+    assert os.path.exists(str(tmp_path / "out" / "sigma.txt"))
+
+
+def test_pod_main_new_param(tmp_path, capsys):
+    from rsvd_kamaneh_raganato_terrana_tpu.apps.pod_main import main
+
+    pod, prm = _write_pod_inputs(tmp_path)
+    main([pod, prm, "--mode", "new-param", "--out-dir", str(tmp_path / "o")])
+    text = capsys.readouterr().out
+    assert "err" in text
+    assert os.path.exists(str(tmp_path / "o" / "time_new_param.csv"))
+
+
+def test_pod_main_convergence(tmp_path, capsys):
+    from rsvd_kamaneh_raganato_terrana_tpu.apps.pod_main import main
+
+    pod, prm = _write_pod_inputs(tmp_path)
+    main([pod, prm, "--mode", "convergence", "--deltats", "4e-3,2e-3",
+          "--out-dir", str(tmp_path / "c")])
+    text = capsys.readouterr().out
+    assert "observed temporal orders" in text
+    assert os.path.exists(str(tmp_path / "c" / "convergence.csv"))
+
+
+def test_dispatcher_unknown_app(capsys):
+    import sys
+
+    from rsvd_kamaneh_raganato_terrana_tpu.__main__ import main
+
+    old = sys.argv
+    try:
+        sys.argv = ["prog", "nope"]
+        rc = main()
+    finally:
+        sys.argv = old
+    assert rc == 1
+    assert "unknown app" in capsys.readouterr().out
+
+
+def test_plot_pod_and_pca(tmp_path):
+    """Plot scripts produce PNGs from pipeline exports (reference
+    scripts/plot_*.py role)."""
+    import subprocess
+    import sys
+
+    from rsvd_kamaneh_raganato_terrana_tpu.apps.pod_main import main as pod_main
+    from rsvd_kamaneh_raganato_terrana_tpu.apps.pca_main import main as pca_main
+
+    pod, prm = _write_pod_inputs(tmp_path)
+    out = str(tmp_path / "out")
+    pod_main([pod, prm, "--out-dir", out])
+    pca_res = str(tmp_path / "pca.txt")
+    pca_main([os.path.join(DATA_DIR, "pca", "dataset_athletic.txt"), "yes",
+              "--save", pca_res])
+
+    import tools.plot_pod as plot_pod
+    import tools.plot_pca as plot_pca
+
+    plot_pod.plot_solution(out)
+    plot_pod.plot_sigma(out)
+    assert os.path.exists(os.path.join(out, "solution.png"))
+    assert os.path.exists(os.path.join(out, "sigma.png"))
+
+    import sys as _s
+
+    old = _s.argv
+    try:
+        _s.argv = ["plot_pca", pca_res, "--out", str(tmp_path / "pca.png")]
+        plot_pca.main()
+    finally:
+        _s.argv = old
+    assert os.path.exists(str(tmp_path / "pca.png"))

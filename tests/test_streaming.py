@@ -1,0 +1,54 @@
+"""Out-of-core streaming rSVD: panel-streamed result must match the
+in-core pipeline and handle memmap inputs + non-dividing panel sizes."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import rsvd_streaming
+
+
+def _lowrank(rng, m, n, r):
+    return (rng.standard_normal((m, r)) @ rng.standard_normal((r, n)))
+
+
+def test_streaming_matches_optimal(rng):
+    a = _lowrank(rng, 300, 200, 7)
+    u, s, v = rsvd_streaming(a, k=10, p=6, q=2, panel_rows=64,
+                             dtype=jnp.float64)
+    rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+    assert np.linalg.norm(rec - a) < 1e-8 * np.linalg.norm(a)
+    s_np = np.linalg.svd(a, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s)[:7], s_np[:7], rtol=1e-8)
+
+
+def test_streaming_panel_invariance(rng):
+    a = rng.standard_normal((257, 96))  # panels don't divide m
+    outs = []
+    for panel in (64, 97, 257):
+        u, s, v = rsvd_streaming(a, k=8, p=8, q=1, panel_rows=panel,
+                                 dtype=jnp.float64)
+        outs.append(np.asarray(s))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-10)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-10)
+
+
+def test_streaming_memmap(tmp_path, rng):
+    a = _lowrank(rng, 200, 120, 5).astype(np.float32)
+    path = str(tmp_path / "a.dat")
+    mm = np.memmap(path, dtype=np.float32, mode="w+", shape=a.shape)
+    mm[:] = a
+    mm.flush()
+    ro = np.memmap(path, dtype=np.float32, mode="r", shape=a.shape)
+    u, s, v = rsvd_streaming(ro, k=6, p=6, q=1, panel_rows=50)
+    rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+    assert np.linalg.norm(rec - a) < 1e-3 * np.linalg.norm(a)
+
+
+def test_streaming_shapes(rng):
+    a = rng.standard_normal((100, 60))
+    u, s, v = rsvd_streaming(a, k=9, p=4, q=0, panel_rows=32,
+                             dtype=jnp.float64)
+    assert u.shape == (100, 9) and s.shape == (9,) and v.shape == (60, 9)
