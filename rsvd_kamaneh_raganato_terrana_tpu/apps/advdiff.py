@@ -203,6 +203,7 @@ class FOMResult(NamedTuple):
     times: jax.Array           # (n_steps + 1,)
 
 
+@partial(jax.jit, static_argnames=("cfg", "dtype", "include_initial"))
 def solve_fom(cfg: AdvDiffConfig, mu, dtype=jnp.float64,
               include_initial: bool = False) -> FOMResult:
     """Run the theta-method time loop, collecting every ``sample_every``-th

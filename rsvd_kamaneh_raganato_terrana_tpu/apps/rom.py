@@ -36,6 +36,7 @@ import csv
 import os
 import time
 from dataclasses import dataclass, replace
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -58,9 +59,12 @@ from rsvd_kamaneh_raganato_terrana_tpu.core.io import write_matrix_market
 from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
 
 
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
 def solve_rom(cfg: AdvDiffConfig, mu, modes, dtype=jnp.float64) -> jax.Array:
     """Run the reduced time loop; returns the final-time expanded solution
-    (reference solve_reduced, AdvDiff1D_POD.cpp:681-771)."""
+    (reference solve_reduced, AdvDiff1D_POD.cpp:681-771).  Jitted with the
+    config static: one compile per (config, rom-size) pair, then each
+    parameter evaluation is a single device program."""
     mu = jnp.asarray(mu, dtype)
     t = jnp.asarray(modes, dtype)          # Nh x r
     ops = build_operators(cfg, mu, dtype)

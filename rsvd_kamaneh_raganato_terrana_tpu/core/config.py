@@ -35,10 +35,13 @@ class RSVDConfig:
         return self.k + self.p
 
 
-@dataclass
+@dataclass(frozen=True)
 class AdvDiffConfig:
     """FEM full-order-model parameters (reference .prm files,
-    POD/ParametricDiffusion1D/input/test_advdiff_00.prm)."""
+    POD/ParametricDiffusion1D/input/test_advdiff_00.prm).
+
+    Frozen (hashable) so it can ride as a static argument of jitted
+    solvers (apps/advdiff.py, apps/rom.py)."""
 
     beta: float = 0.2          # transport coefficient
     u0_choice: int = 0         # initial condition / manufactured solution id (0-3)
@@ -60,11 +63,11 @@ class AdvDiffConfig:
         return round(self.T / self.deltat)
 
 
-@dataclass
+@dataclass(frozen=True)
 class PodConfig:
     """POD driver parameters (reference keyword files,
     POD/ParametricDiffusion1D/input/test_pod_00.txt, parsed at
-    Diff1D.cpp:50-91)."""
+    Diff1D.cpp:50-91).  Frozen/hashable like AdvDiffConfig."""
 
     dim: int = 1
     n: int = 1                  # number of diffusion parameters in the sweep
@@ -76,7 +79,7 @@ class PodConfig:
     tol: float = 1e-12
     pod_type: int = 2           # 0 naive, 1 standard, 2 energy, 3 weight
     svd_type: int = 0           # 0/1/2 full SVD {power,jacobi,par-jacobi}; 3/4/5 rSVD
-    rom_sizes: List[int] = field(default_factory=lambda: [2, 4, 6, 8])
+    rom_sizes: tuple = (2, 4, 6, 8)
 
 
 def _strip_comment(line: str) -> str:
@@ -85,7 +88,7 @@ def _strip_comment(line: str) -> str:
 
 def parse_pod_config(path: str) -> PodConfig:
     """Parse the reference's keyword POD parameter files."""
-    cfg = PodConfig()
+    kwargs = {}
     with open(path) as f:
         for raw in f:
             line = _strip_comment(raw)
@@ -94,18 +97,18 @@ def parse_pod_config(path: str) -> PodConfig:
             parts = line.split()
             key, vals = parts[0], parts[1:]
             if key == "rom_sizes":
-                cfg.rom_sizes = [int(v) for v in vals]
+                kwargs["rom_sizes"] = tuple(int(v) for v in vals)
             elif key in ("dim", "n", "rank", "pod_type", "svd_type", "nthreads"):
-                setattr(cfg, key, int(vals[0]))
+                kwargs[key] = int(vals[0])
             elif key in ("mu_min", "mu_max", "mu_new", "tol"):
-                setattr(cfg, key, float(vals[0]))
+                kwargs[key] = float(vals[0])
             # unknown keys ignored, like the reference parser
-    return cfg
+    return PodConfig(**kwargs)
 
 
 def parse_prm_config(path: str) -> AdvDiffConfig:
     """Parse deal.II-style ``set key = value`` .prm files."""
-    cfg = AdvDiffConfig()
+    kwargs = {}
     pat = re.compile(r"^\s*set\s+(\w+)\s*=\s*(\S+)")
     with open(path) as f:
         for raw in f:
@@ -115,10 +118,10 @@ def parse_prm_config(path: str) -> AdvDiffConfig:
                 continue
             key, val = m.group(1), m.group(2)
             if key in ("u0_choice", "N", "degree", "sample_every"):
-                setattr(cfg, key, int(val))
+                kwargs[key] = int(val)
             elif key in ("beta", "amplitude", "T", "deltat", "theta"):
-                setattr(cfg, key, float(val))
-    return cfg
+                kwargs[key] = float(val)
+    return AdvDiffConfig(**kwargs)
 
 
 def to_dict(cfg) -> dict:

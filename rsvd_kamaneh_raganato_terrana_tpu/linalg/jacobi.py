@@ -213,12 +213,99 @@ def _jacobi_core(a, tol, max_sweeps: int, apply: str):
     return u, s, v, sweeps
 
 
+def _block_jacobi_core(a, tol, max_sweeps: int, block_size: int):
+    """One-sided **block** Jacobi: tournament over column blocks; each
+    round solves all disjoint block-pair subproblems at once (vmapped
+    2b x 2b eigh of the pair Gram) and applies the resulting orthogonal
+    factors as batched GEMMs.  Rounds per sweep: nb-1 instead of n-1 —
+    the large-n engine (MXU-dense, tiny sequential depth)."""
+    m, n_orig = a.shape
+    dtype = a.dtype
+    b = block_size
+    nb = -(-n_orig // b)
+    nb += nb % 2  # even block count for the tournament
+    n = nb * b
+    if n != n_orig:
+        a = jnp.concatenate([a, jnp.zeros((m, n - n_orig), dtype)], axis=1)
+    sched = jnp.asarray(round_robin_schedule(nb))  # (R, P, 2)
+    n_rounds = sched.shape[0]
+
+    def one_round(r, carry):
+        w, v = carry
+        pairs = jax.lax.dynamic_index_in_dim(sched, r, keepdims=False)
+        p_idx = pairs[:, 0]
+        q_idx = pairs[:, 1]
+        wb = w.reshape(m, nb, b)
+        vb = v.reshape(n, nb, b)
+        # (npairs, m, 2b) pair panels
+        wp = jnp.concatenate([wb[:, p_idx], wb[:, q_idx]], axis=2)
+        wp = jnp.moveaxis(wp, 1, 0)
+        vp = jnp.concatenate([vb[:, p_idx], vb[:, q_idx]], axis=2)
+        vp = jnp.moveaxis(vp, 1, 0)
+        g = jnp.einsum("pmi,pmj->pij", wp, wp,
+                       precision=DOT_PRECISION)
+        lam, qrot = jnp.linalg.eigh(g)          # ascending eigenvalues
+        # Identity-alignment: raw eigh output orders columns by eigenvalue,
+        # which permutes columns across blocks every visit and makes the
+        # cyclic iteration LIMIT-CYCLE instead of converge (mass endlessly
+        # exchanged between pairings).  Matching sorted eigenvalues to the
+        # sorted Gram diagonal sends each eigenvector to the position of
+        # the input column it asymptotically equals, so rotations tend to
+        # the identity and the sweep converges (uniformly-bounded-cosines
+        # ordering from block-Jacobi convergence theory).
+        d = jnp.diagonal(g, axis1=1, axis2=2)
+        pos_order = jnp.argsort(d, axis=1)       # ascending, like lam
+        inv = jnp.argsort(pos_order, axis=1)
+        qrot = jnp.take_along_axis(qrot, inv[:, None, :], axis=2)
+        qdiag = jnp.diagonal(qrot, axis1=1, axis2=2)
+        signs = jnp.where(qdiag < 0, -1.0, 1.0).astype(dtype)
+        qrot = qrot * signs[:, None, :]
+        w_new = jnp.einsum("pmi,pij->pmj", wp, qrot,
+                           precision=DOT_PRECISION)
+        v_new = jnp.einsum("pmi,pij->pmj", vp, qrot,
+                           precision=DOT_PRECISION)
+        w_new = jnp.moveaxis(w_new, 0, 1)       # (m, npairs, 2b)
+        v_new = jnp.moveaxis(v_new, 0, 1)
+        wb = wb.at[:, p_idx].set(w_new[:, :, :b])
+        wb = wb.at[:, q_idx].set(w_new[:, :, b:])
+        vb = vb.at[:, p_idx].set(v_new[:, :, :b])
+        vb = vb.at[:, q_idx].set(v_new[:, :, b:])
+        return wb.reshape(m, n), vb.reshape(n, n)
+
+    def sweep_cond(state):
+        w, v, sweep, off = state
+        return jnp.logical_and(sweep < max_sweeps, off > tol)
+
+    def sweep_body(state):
+        w, v, sweep, _ = state
+        w, v = jax.lax.fori_loop(0, n_rounds, one_round, (w, v))
+        return (w, v, sweep + 1, _max_normalized_offdiag(w))
+
+    v0 = jnp.eye(n, dtype=dtype)
+    w, v, sweeps, _ = jax.lax.while_loop(
+        sweep_cond, sweep_body,
+        (a, v0, jnp.int32(0), _max_normalized_offdiag(a)),
+    )
+
+    # Block rotations can move the zero pad columns anywhere inside their
+    # block pair, so sort first and keep the n_orig largest.
+    s = jnp.sqrt(jnp.sum(w * w, axis=0))
+    order = jnp.argsort(-s)[:n_orig]
+    s = s[order]
+    w = w[:, order]
+    v = v[:n_orig, order]
+    safe = jnp.maximum(s, jnp.finfo(dtype).tiny)
+    u = jnp.where(s[None, :] > 0, w / safe[None, :], 0.0)
+    return u, s, v, sweeps
+
+
 def jacobi_svd(
     a,
     tol: Optional[float] = None,
     max_sweeps: int = 30,
     apply: str = "auto",
     precondition: bool = True,
+    block_size: int = 64,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full SVD A = U diag(s) V^T by one-sided tournament Jacobi.
 
@@ -230,19 +317,28 @@ def jacobi_svd(
 
     Tall/wide inputs are preconditioned with a thin QR so sweeps run on the
     square min-dim factor, like the reference's HouseholderQR precondition
-    (SVD_class.hpp:110-123).
+    (SVD_class.hpp:110-123).  ``apply='block'`` uses the block tournament
+    (`_block_jacobi_core`) — nb-1 rounds of vmapped 2b x 2b eigh + batched
+    GEMMs, the preferred engine for n > ~256.
     """
     a = jnp.asarray(a)
     m, n = a.shape
     if m < n:
-        u, s, v = jacobi_svd(a.T, tol, max_sweeps, apply, precondition)
+        u, s, v = jacobi_svd(a.T, tol, max_sweeps, apply, precondition,
+                             block_size)
         return v, s, u
 
     dtype = a.dtype
     if tol is None:
         tol = 30.0 * float(jnp.finfo(dtype).eps)
     if apply == "auto":
-        apply = "gemm" if n <= 256 else "scatter"
+        apply = "gemm" if n <= 256 else "block"
+
+    def core(x):
+        if apply == "block":
+            return _block_jacobi_core(x, tol, max_sweeps,
+                                      min(block_size, x.shape[1]))
+        return _jacobi_core(x, tol, max_sweeps, apply)
 
     if precondition and m > n:
         # Thin QR first: sweeps then run on the n x n R factor.  Robust
@@ -251,9 +347,9 @@ def jacobi_svd(
         from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
 
         q0, r0 = qr_reduced(a, "robust")
-        ur, s, v, _ = _jacobi_core(r0, tol, max_sweeps, apply)
+        ur, s, v, _ = core(r0)
         u = jnp.matmul(q0, ur, precision=DOT_PRECISION)
         return u, s, v
 
-    u, s, v, _ = _jacobi_core(a, tol, max_sweeps, apply)
+    u, s, v, _ = core(a)
     return u, s, v

@@ -37,12 +37,37 @@ class SVDMethod(enum.Enum):
     Jacobi = "jacobi"
     Power = "power"
     ParallelJacobi = "parallel_jacobi"
+    # TPU fast path beyond the reference's three engines: one eigh of the
+    # small-side Gram (accuracy ~sqrt(eps) for trailing singular values —
+    # fine for rSVD tails where the spectrum is truncated anyway).
+    GramEigh = "eigh"
 
     @classmethod
     def parse(cls, value) -> "SVDMethod":
         if isinstance(value, cls):
             return value
         return cls(str(value).lower())
+
+
+def _gram_eigh_svd(a):
+    """SVD via eigendecomposition of the small-side Gram matrix: a single
+    batched-friendly eigh + one GEMM — minimal sequential depth on TPU."""
+    m, n = a.shape
+    dtype = a.dtype
+    if m <= n:
+        g = jnp.matmul(a, a.T, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+        lam, u = jnp.linalg.eigh(g)           # ascending
+        lam = jnp.maximum(lam[::-1], 0.0)
+        u = u[:, ::-1]
+        s = jnp.sqrt(lam)
+        safe = jnp.maximum(s, jnp.finfo(dtype).tiny)
+        v = jnp.matmul(a.T, u, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST) / safe[None, :]
+        v = jnp.where(s[None, :] > 0, v, 0.0)
+        return u, s, v
+    v, s, u = _gram_eigh_svd(a.T)
+    return u, s, v
 
 
 def svd(
@@ -63,6 +88,8 @@ def svd(
         k = r if r > 0 else min(a.shape)
         res = power_svd(a, k=k, **kwargs)
         u, s, v = res.u, res.s, res.v
+    elif method is SVDMethod.GramEigh:
+        u, s, v = _gram_eigh_svd(a)
     else:  # pragma: no cover
         raise ValueError(method)
     if r > 0:

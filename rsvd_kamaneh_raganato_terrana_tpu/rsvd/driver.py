@@ -42,38 +42,62 @@ def generate_omega(key_or_seed, n: int, l: int, dtype=jnp.float32,
     return sketch_matrix(key, n, l, dtype, kind, sharding)
 
 
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=DOT_PRECISION,
+# Matmul precision for the big stage-A GEMMs.  On TPU f32 inputs:
+#   highest -> 6-pass bf16 (full f32 accuracy, 6x MXU cost)
+#   high    -> 3-pass bf16 (~f32 minus ~1 digit, 3x cost)
+#   default -> 1-pass bf16 (fastest, ~3 significant digits)
+# Orthonormalization Grams (linalg/qr.py) always run at HIGHEST — their
+# FLOP share is l/n of the pipeline, and Q's orthogonality sets the final
+# factorization accuracy.
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _mm(a, b, precision=DOT_PRECISION):
+    from jax.experimental import sparse as jsparse
+
+    if isinstance(a, jsparse.JAXSparse) or isinstance(b, jsparse.JAXSparse):
+        # sparse operand (BCOO interaction matrices — the recsys_embed
+        # role): sparse-dense product, precision flags don't apply
+        return a @ b
+    return jnp.matmul(a, b, precision=precision,
                       preferred_element_type=a.dtype)
 
 
-def power_refine(a, q_mat, q: int, qr_method: str = "robust"):
+def power_refine(a, q_mat, q: int, qr_method: str = "robust",
+                 precision=DOT_PRECISION):
     """q rounds of power-iteration subspace refinement with
     re-orthonormalization (the loop of reference intermediate_step,
     src/rSVD.cpp:62-69)."""
     for _ in range(q):
-        z = _mm(a.T, q_mat)
+        z = _mm(a.T, q_mat, precision)
         z_q = orthonormal_basis(z, qr_method)
-        y = _mm(a, z_q)
+        y = _mm(a, z_q, precision)
         q_mat = orthonormal_basis(y, qr_method)
     return q_mat
 
 
-def subspace_iteration(a, omega, q: int, qr_method: str = "robust"):
+def subspace_iteration(a, omega, q: int, qr_method: str = "robust",
+                       precision=DOT_PRECISION):
     """Stage A: range finder with q power-iteration refinements
     (reference intermediate_step, src/rSVD.cpp:57-70)."""
-    y = _mm(a, omega)
+    y = _mm(a, omega, precision)
     q_mat = orthonormal_basis(y, qr_method)
-    return power_refine(a, q_mat, q, qr_method)
+    return power_refine(a, q_mat, q, qr_method, precision)
 
 
 def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
-                    method: str = "jacobi", qr_method: str = "robust"):
+                    method: str = "jacobi", qr_method: str = "robust",
+                    precision: str | jax.lax.Precision = "highest"):
     """rSVD given an explicit sketch matrix — the vmappable core (used by
     the tile-parallel image path, where each tile draws an independent
     Omega like the reference's per-rank RNG, image rSVD.cpp:89-101)."""
-    q_mat = subspace_iteration(a, omega, q, qr_method)      # m x l
-    b = _mm(q_mat.T, a)                                     # l x n (replicated)
+    prec = _PRECISIONS.get(precision, precision)
+    q_mat = subspace_iteration(a, omega, q, qr_method, prec)  # m x l
+    b = _mm(q_mat.T, a, prec)                               # l x n (replicated)
     u_t, s, v = small_svd(b, method)
     u = _mm(q_mat, u_t)
     if k > 0:
@@ -83,11 +107,13 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
 
 @partial(
     jax.jit,
-    static_argnames=("k", "p", "q", "method", "sketch", "qr_method", "seed"),
+    static_argnames=("k", "p", "q", "method", "sketch", "qr_method", "seed",
+                     "precision"),
 )
-def _rsvd_impl(a, *, k, p, q, method, sketch, qr_method, seed):
+def _rsvd_impl(a, *, k, p, q, method, sketch, qr_method, seed, precision):
     m, n = a.shape
     l = min(k + p if k > 0 else p, min(m, n))
+    prec = _PRECISIONS.get(precision, precision)
     if sketch == "fused":
         # Pallas fused sketch: Omega generated in-kernel, never in HBM.
         from rsvd_kamaneh_raganato_terrana_tpu.linalg.pallas_kernels import (
@@ -96,15 +122,15 @@ def _rsvd_impl(a, *, k, p, q, method, sketch, qr_method, seed):
 
         y = fused_sketch_matmul(a, l, seed).astype(a.dtype)
         q_mat = orthonormal_basis(y, qr_method)
-        q_mat = power_refine(a, q_mat, q, qr_method)
-        b = _mm(q_mat.T, a)
+        q_mat = power_refine(a, q_mat, q, qr_method, prec)
+        b = _mm(q_mat.T, a, prec)
         u_t, s, v = small_svd(b, method)
         u = _mm(q_mat, u_t)
         if k > 0:
             u, s, v = u[:, :k], s[:k], v[:, :k]
         return u, s, v
     omega = generate_omega(seed, n, l, a.dtype, sketch)
-    return rsvd_with_omega(a, omega, q, k, method, qr_method)
+    return rsvd_with_omega(a, omega, q, k, method, qr_method, precision)
 
 
 def rsvd(
@@ -116,17 +142,24 @@ def rsvd(
     sketch: str = "gaussian",
     qr_method: str = "robust",
     seed: int = 0,
+    precision: str = "highest",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Randomized truncated SVD (reference rSVD, src/rSVD.cpp:72-133).
 
     k: target rank (0 = return all l = p components, the root-test preset
     k=0, p=16 => l=16 of tests/rSVD_test.cpp:63-67); p: oversampling;
-    q: power iterations; method: small-SVD engine for the l x n tail.
+    q: power iterations; method: small-SVD engine for the l x n tail;
+    precision: MXU pass count for the stage-A GEMMs ('highest' = f32
+    parity, 'high'/'default' trade digits for throughput on TPU).
     """
+    from jax.experimental import sparse as jsparse
+
     method = SVDMethod.parse(method)
+    if not isinstance(a, jsparse.JAXSparse):
+        a = jnp.asarray(a)
     return _rsvd_impl(
-        jnp.asarray(a), k=k, p=p, q=q, method=method.value, sketch=sketch,
-        qr_method=qr_method, seed=seed,
+        a, k=k, p=p, q=q, method=method.value, sketch=sketch,
+        qr_method=qr_method, seed=seed, precision=precision,
     )
 
 

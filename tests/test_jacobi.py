@@ -59,6 +59,26 @@ def test_rectangular(shape, rng):
     _check_svd(a, u, s, v)
 
 
+def test_block_apply_square(rng):
+    """Block tournament (vmapped pair-Gram eigh) — the large-n engine."""
+    a = rng.standard_normal((96, 96))
+    u, s, v = jacobi_svd(jnp.asarray(a), apply="block", block_size=16)
+    _check_svd(a, u, s, v)
+
+
+def test_block_apply_nondividing_block(rng):
+    a = rng.standard_normal((70, 50))  # 50 cols, block 16 -> padded
+    u, s, v = jacobi_svd(jnp.asarray(a), apply="block", block_size=16)
+    _check_svd(a, u, s, v)
+
+
+def test_block_apply_rank_deficient(rng):
+    b = rng.standard_normal((80, 6))
+    a = b @ rng.standard_normal((6, 60))
+    u, s, v = jacobi_svd(jnp.asarray(a), apply="block", block_size=16)
+    _check_svd(a, u, s, v, tol=1e-8)
+
+
 def test_odd_dimension(rng):
     a = rng.standard_normal((25, 25))
     u, s, v = jacobi_svd(jnp.asarray(a))

@@ -165,7 +165,7 @@ def test_reference_config_files_parse():
         "/root/reference/POD/ParametricDiffusion1D/input/test_pod_02.txt"
     )
     assert pcfg.n == 5 and pcfg.mu_new == 0.0025 and pcfg.pod_type == 2
-    assert pcfg.rom_sizes == [2, 4, 6, 8, 10, 20]
+    assert tuple(pcfg.rom_sizes) == (2, 4, 6, 8, 10, 20)
     acfg = parse_prm_config(
         "/root/reference/POD/ParametricDiffusion1D/input/test_advdiff_00.prm"
     )
