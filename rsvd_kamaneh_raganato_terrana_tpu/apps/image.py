@@ -62,13 +62,19 @@ class Image:
 
     # -- I/O ------------------------------------------------------------
     @classmethod
-    def load(cls, path: str) -> "Image":
-        """Load any PIL-readable image as grayscale float (reference used
-        stb_image forced to 1 channel, image_com.cpp:18-44)."""
+    def load(cls, path: str, color: bool = False) -> "Image":
+        """Load any PIL-readable image as float — grayscale by default
+        (reference used stb_image forced to 1 channel, image_com.cpp:
+        18-44) or RGB with ``color=True`` (extension: per-channel rSVD;
+        no reference counterpart)."""
         from PIL import Image as PILImage
 
-        img = PILImage.open(path).convert("L")
+        img = PILImage.open(path).convert("RGB" if color else "L")
         return cls(np.asarray(img, dtype=np.float64))
+
+    @property
+    def is_color(self) -> bool:
+        return self._data.ndim == 3
 
     def save(self, path: str) -> None:
         from PIL import Image as PILImage
@@ -78,7 +84,7 @@ class Image:
             data = data * 255.0
         arr = np.clip(np.round(data), 0, 255).astype(np.uint8)
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-        PILImage.fromarray(arr, mode="L").save(path)
+        PILImage.fromarray(arr, mode="RGB" if self.is_color else "L").save(path)
 
     # -- geometry / scaling (reference image_com.cpp:193-279) ------------
     @property
@@ -96,7 +102,7 @@ class Image:
 
     def upscale(self, factor: int = 2) -> "Image":
         """Block replication (reference upscale, image_com.cpp:221-244)."""
-        self._data = np.kron(self._data, np.ones((factor, factor)))
+        self._data = self._data.repeat(factor, axis=0).repeat(factor, axis=1)
         return self
 
     def normalize(self) -> "Image":
@@ -117,13 +123,25 @@ class Image:
     def compress(self, k: int = -1, p: int = 10, q: int = 1,
                  seed: int = 0, dtype=jnp.float32) -> "Image":
         """Whole-image rSVD (reference compress, image_com.cpp:288-317:
-        default k = min(m,n)/4, p = 10, q = 1)."""
-        m, n = self._data.shape
+        default k = min(m,n)/4, p = 10, q = 1).  Color images compress
+        per channel with a shared sketch (vmapped batch axis)."""
+        m, n = self._data.shape[:2]
         if k < 0:
             k = min(m, n) // 4
-        a = jnp.asarray(self._data, dtype=dtype)
-        u, s, v = rsvd(a, k=k, p=p, q=q, seed=seed)
-        self.U, self.S, self.V = (np.asarray(u), np.asarray(s), np.asarray(v))
+        if self.is_color:
+            chans = jnp.asarray(np.moveaxis(self._data, 2, 0), dtype=dtype)
+            l = min(k + p, min(m, n))
+            omega = jax.random.normal(jax.random.PRNGKey(seed), (n, l), dtype)
+            u, s, v = jax.jit(
+                jax.vmap(lambda t: rsvd_with_omega(t, omega, q=q, k=k))
+            )(chans)
+            self.U, self.S, self.V = (np.asarray(u), np.asarray(s),
+                                      np.asarray(v))
+        else:
+            a = jnp.asarray(self._data, dtype=dtype)
+            u, s, v = rsvd(a, k=k, p=p, q=q, seed=seed)
+            self.U, self.S, self.V = (np.asarray(u), np.asarray(s),
+                                      np.asarray(v))
         self.tile_factors = None
         return self
 
@@ -134,6 +152,9 @@ class Image:
         image_com.cpp:325-403): split into grid tiles, run an independent
         rSVD per tile.  Tiles ride a vmapped batch axis; pass ``mesh`` to
         shard that axis over devices (the MPI-rank role)."""
+        if self.is_color:
+            raise ValueError("tiled compression supports grayscale only; "
+                             "use compress() for color images")
         gy, gx = grid
         m, n = self._data.shape
         th, tw = m // gy, n // gx
@@ -187,6 +208,9 @@ class Image:
             )
         if self.U is None:
             raise RuntimeError("compress() first")
+        if self.U.ndim == 3:  # color: (3, m, k) x (3, k) x (3, n, k)
+            rec = np.einsum("cik,ck,cjk->cij", self.U, self.S, self.V)
+            return np.moveaxis(rec, 0, 2)
         return (self.U * self.S[None, :]) @ self.V.T
 
     def restore(self) -> "Image":
@@ -195,12 +219,15 @@ class Image:
 
     def compression_ratio(self) -> float:
         """mn / (l (m + n + 1)) (reference get_compression_ratio,
-        image_com.cpp:406-411); for tiled factors, per-tile cost summed."""
-        m, n = self._data.shape
+        image_com.cpp:406-411); for tiled/color factors, total element
+        count."""
+        m, n = self._data.shape[:2]
+        pixels = self._data.size
         if self.tile_factors is not None:
             tf = self.tile_factors
-            cost = tf.u.size + tf.s.size + tf.v.size
-            return m * n / cost
+            return pixels / (tf.u.size + tf.s.size + tf.v.size)
+        if self.U.ndim == 3:
+            return pixels / (self.U.size + self.S.size + self.V.size)
         l = self.S.shape[0]
         return m * n / (l * (m + n + 1))
 

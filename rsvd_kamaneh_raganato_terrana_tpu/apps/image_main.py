@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="data/output/img")
     ap.add_argument("--no-tile", action="store_true",
                     help="whole-image rSVD instead of tiled")
+    ap.add_argument("--color", action="store_true",
+                    help="RGB per-channel compression (grayscale default, "
+                         "like the reference)")
     args = ap.parse_args(argv)
 
     from rsvd_kamaneh_raganato_terrana_tpu.apps.image import Image
@@ -33,14 +36,14 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
 
     t0 = time.perf_counter()
-    im = Image.load(args.image)
-    print(f"loaded {args.image}: {im.shape[0]}x{im.shape[1]}")
+    im = Image.load(args.image, color=args.color)
+    print(f"loaded {args.image}: {'x'.join(str(d) for d in im.shape)}")
     if args.downscale > 1:
         im.downscale(args.downscale)
     im.normalize()
 
     t1 = time.perf_counter()
-    if args.no_tile:
+    if args.no_tile or args.color:
         im.compress(k=args.k)
     else:
         gy, gx = (int(x) for x in args.grid.split("x"))

@@ -172,6 +172,24 @@ def weight_pod(s, xh, d, rank: int, tol: float = 1e-12,
     return POD(pod.modes, pod.sigma, pod.rank, "weight")
 
 
+def incremental_pod(snapshot_batches, rank: int, tol: float = 0.0) -> POD:
+    """Streaming POD: feed snapshot batches as they are produced (e.g.
+    one FOM parameter at a time) and keep a rank-capped factorization
+    via Brand column appends — the working version of the reference's
+    commented-out incremental-SVD intent (POD.cpp:464-799).  Memory is
+    O(Nh * rank) regardless of the total snapshot count."""
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.incremental import (
+        IncrementalSVD,
+    )
+
+    inc = IncrementalSVD(rank=rank)
+    for batch in snapshot_batches:
+        inc.update(jnp.asarray(batch))
+    u, sig, _ = inc.factors()
+    r = _energy_truncate(sig, tol, rank) if tol > 0 else min(rank, sig.shape[0])
+    return POD(u[:, :rank], sig[:rank], r, "incremental")
+
+
 def make_pod(pod_type: int, s, rank: int, tol: float, svd_type: int,
              xh=None, d=None) -> POD:
     """pod_type dispatch as in the reference driver (Diff1D.cpp:170-218):

@@ -29,3 +29,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import (  # noqa: F401
     SVDMethod,
     svd,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.incremental import (  # noqa: F401
+    IncrementalSVD,
+    svd_append_columns,
+)

@@ -56,8 +56,12 @@ def _mix(h):
 
 def _bits_to_unit_floats(bits):
     """uint32 -> float32 in (0, 1): top 24 bits for a dense dyadic grid,
-    offset away from 0 so log() is safe."""
-    f = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+    offset away from 0 so log() is safe.  The cast routes through int32
+    (values < 2^24 so no sign issues) because Mosaic has no direct
+    uint32 -> float32 conversion."""
+    f = (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
+        1.0 / (1 << 24)
+    )
     return jnp.maximum(f, 1e-12)
 
 

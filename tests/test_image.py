@@ -108,6 +108,40 @@ def test_codec_tiled_roundtrip(rng, tmp_path):
     )
 
 
+def test_color_compress_roundtrip(tmp_path, rng):
+    """RGB extension: per-channel rSVD, codec roundtrip, PNG save."""
+    base = _lowrank(rng, 64, 48, 4)
+    color = np.stack([base, base * 0.5, 255 - base], axis=2)
+    im = Image(color)
+    assert im.is_color
+    im.compress(k=6, q=2)
+    rec = im.reconstruct()
+    assert rec.shape == color.shape
+    assert np.linalg.norm(rec - color) < 1e-2 * np.linalg.norm(color)
+    assert im.compression_ratio() > 0
+    path = str(tmp_path / "c.rsv")
+    im.save_compressed(path)
+    im2 = Image(color).load_compressed(path)
+    assert im2.U.ndim == 3
+    np.testing.assert_allclose(im2.reconstruct(), rec,
+                               atol=0.05 * np.abs(rec).max() + 1.0)
+    png = str(tmp_path / "c.png")
+    im.restore()
+    im.save(png)
+    back = Image.load(png, color=True)
+    assert back.data.shape == color.shape
+    with pytest.raises(ValueError):
+        Image(color).compress_tiled(k=4, grid=(2, 2))
+
+
+def test_color_scaling_ops(rng):
+    color = rng.random((32, 32, 3)) * 255
+    im = Image(color.copy()).downscale(2)
+    assert im.shape == (16, 16, 3)
+    im.upscale(2)
+    assert im.shape == (32, 32, 3)
+
+
 def test_save_png_roundtrip(img256, tmp_path):
     p = str(tmp_path / "out.png")
     Image(img256.data.copy()).save(p)

@@ -106,6 +106,16 @@ def test_weight_pod(snapshots):
                                rtol=1e-5)
 
 
+def test_incremental_pod_matches_batch(snapshots):
+    """Streaming POD over column batches tracks the batch POD spectrum."""
+    batches = [snapshots[:, i : i + 10] for i in range(0, 40, 10)]
+    p = podlib.incremental_pod(batches, rank=10)
+    s_np = np.linalg.svd(snapshots, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(p.sigma)[:8], s_np[:8], rtol=1e-6)
+    w = np.asarray(p.W)
+    assert w.shape[1] <= 10
+
+
 @pytest.mark.parametrize("svd_type", [0, 1, 2, 4])
 def test_perform_svd_dispatch(svd_type, snapshots):
     u, s, v = podlib.perform_svd(jnp.asarray(snapshots), svd_type, rank=6)

@@ -9,6 +9,7 @@ Usage: python tools/profile_rsvd.py [--m 4096] [--n 4096] [--k 64]
 import argparse
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -29,9 +30,7 @@ def main():
     import jax.numpy as jnp
 
     from rsvd_kamaneh_raganato_terrana_tpu.core.profiling import (
-        PhaseTimer,
         rsvd_flops,
-        timeit,
         trace,
     )
     from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import orthonormal_basis
@@ -46,36 +45,53 @@ def main():
     a = jnp.asarray(rng.standard_normal((args.m, args.n)), dtype=jnp.float32)
     l = args.k + args.p
 
-    # phase-by-phase timings (reference chrono-print style)
-    pt = PhaseTimer()
-    omega = generate_omega(0, args.n, l, a.dtype)
-    sketch = jax.jit(lambda x, o: x @ o)
-    qr = jax.jit(orthonormal_basis)
-    refine = jax.jit(lambda x, qm: power_refine(x, qm, args.q))
-    proj = jax.jit(lambda qm, x: qm.T @ x)
-    tail = jax.jit(lambda b: small_svd(b, "jacobi"))
-    # warm
-    y = sketch(a, omega); qm = qr(y); qm = refine(a, qm)
-    b = proj(qm, a); jax.block_until_ready(tail(b))
-    for _ in range(3):
-        with pt.phase("sketch"):
-            y = jax.block_until_ready(sketch(a, omega))
-        with pt.phase("qr"):
-            qm = jax.block_until_ready(qr(y))
-        with pt.phase("power_refine"):
-            qm = jax.block_until_ready(refine(a, qm))
-        with pt.phase("project_b"):
-            b = jax.block_until_ready(proj(qm, a))
-        with pt.phase("small_svd_tail"):
-            jax.block_until_ready(tail(b))
-    for name in ("sketch", "qr", "power_refine", "project_b", "small_svd_tail"):
-        print(f"{name:>16}: {pt.avg_us(name) / 1e3:10.3f} ms avg")
+    # Phase timings by dispatch-chain deltas (single-shot timing through
+    # the TPU tunnel measures round-trip latency, not compute — see
+    # docs/ARCHITECTURE.md "Performance methodology").
+    import numpy as _np
 
-    secs, _ = timeit(
-        lambda: rsvd(a, k=args.k, p=args.p, q=args.q), iters=3, warmup=1
-    )
-    gflops = rsvd_flops(args.m, args.n, l, args.q) / secs / 1e9
-    print(f"{'full rsvd':>16}: {secs * 1e3:10.3f} ms  ({gflops:.1f} GFLOP/s)")
+    omega = generate_omega(0, args.n, l, a.dtype)
+    phases = {
+        "sketch": (jax.jit(lambda x, o: x @ o), (a, omega)),
+        "qr": (jax.jit(orthonormal_basis), None),  # arg filled below
+        "power_refine": (jax.jit(lambda x, qm: power_refine(x, qm, args.q)),
+                         None),
+        "project_b": (jax.jit(lambda qm, x: qm.T @ x), None),
+        "small_svd_tail": (jax.jit(lambda b: small_svd(b, "jacobi")), None),
+    }
+    y = phases["sketch"][0](a, omega)
+    qm = phases["qr"][0](y)
+    qm2 = phases["power_refine"][0](a, qm)
+    b = phases["project_b"][0](qm2, a)
+    phases["qr"] = (phases["qr"][0], (y,))
+    phases["power_refine"] = (phases["power_refine"][0], (a, qm))
+    phases["project_b"] = (phases["project_b"][0], (qm2, a))
+    phases["small_svd_tail"] = (phases["small_svd_tail"][0], (b,))
+
+    def chain_delta(fn, fn_args, n_small=3, n_large=12):
+        def chain(n):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn(*fn_args)
+            jax.block_until_ready(out)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            _np.asarray(leaf.ravel()[:1])
+            return time.perf_counter() - t0
+
+        chain(1)  # warm
+        t_s = min(chain(n_small) for _ in range(3))
+        t_l = min(chain(n_large) for _ in range(3))
+        return max((t_l - t_s) / (n_large - n_small), 0.0)
+
+    for name, (fn, fn_args) in phases.items():
+        ms = chain_delta(fn, fn_args) * 1e3
+        print(f"{name:>16}: {ms:10.3f} ms/iter")
+
+    full = jax.jit(lambda x: rsvd(x, k=args.k, p=args.p, q=args.q))
+    secs = chain_delta(full, (a,))
+    gflops = rsvd_flops(args.m, args.n, l, args.q) / max(secs, 1e-12) / 1e9
+    print(f"{'full rsvd':>16}: {secs * 1e3:10.3f} ms/iter  ({gflops:.1f} GFLOP/s)")
 
     with trace(args.trace_dir):
         jax.block_until_ready(rsvd(a, k=args.k, p=args.p, q=args.q))
