@@ -9,6 +9,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.apps.image import Image, TileFactors  # n
 from rsvd_kamaneh_raganato_terrana_tpu.apps.pod import (  # noqa: F401
     POD,
     energy_pod,
+    incremental_pod,
     make_pod,
     naive_pod,
     perform_svd,

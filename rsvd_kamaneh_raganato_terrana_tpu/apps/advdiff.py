@@ -217,13 +217,21 @@ def solve_fom(cfg: AdvDiffConfig, mu, dtype=jnp.float64,
     u0 = initial_condition(ops.nodes, cfg.u0_choice, cfg.amplitude).astype(dtype)
     u0 = u0.at[0].set(0.0).at[-1].set(0.0)
 
-    def step(u, i):
-        t_new = (i + 1.0) * dt
-        rhs = assemble_rhs(u, t_new, i * dt, mu, cfg, ops)
+    # The forcing is known a priori: evaluate every step's theta-weighted
+    # load vector in ONE batched vmap before the loop, so the scan body is
+    # a matvec + two triangular solves (the reference re-assembled the
+    # forcing by quadrature inside every step, AdvDiff1D.cpp:189-267).
+    times = jnp.arange(n_steps + 1, dtype=dtype) * dt
+    f_all = jax.vmap(lambda t: load_vector(t, mu, cfg, ops.nodes, dtype))(times)
+    f_theta = cfg.theta * f_all[1:] + (1.0 - cfg.theta) * f_all[:-1]
+    f_theta = f_theta.at[:, 0].set(0.0).at[:, -1].set(0.0)
+
+    def step(u, f_t):
+        rhs = (ops.rhs_mat @ u + f_t).at[0].set(0.0).at[-1].set(0.0)
         u_new = jax.scipy.linalg.lu_solve(ops.lu, rhs)
         return u_new, u_new
 
-    u_final, traj = jax.lax.scan(step, u0, jnp.arange(n_steps, dtype=dtype))
+    u_final, traj = jax.lax.scan(step, u0, f_theta)
     # traj: (n_steps, n) solutions at steps 1..n_steps
     sampled = traj[cfg.sample_every - 1 :: cfg.sample_every]
     snaps = sampled.T

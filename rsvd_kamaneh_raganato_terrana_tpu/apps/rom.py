@@ -87,15 +87,23 @@ def solve_rom(cfg: AdvDiffConfig, mu, modes, dtype=jnp.float64) -> jax.Array:
     r0 = jnp.linalg.solve(gram_t, jnp.matmul(t.T, u0, precision=DOT_PRECISION))
     u_fom = jnp.matmul(t, r0, precision=DOT_PRECISION)
 
-    def step(u_f, i):
-        t_new = (i + 1.0) * dt_step
-        rhs = advdiff.assemble_rhs(u_f, t_new, i * dt_step, mu, cfg, ops)
+    # Precompute every step's theta-weighted load vector in one vmap
+    # (forcing is known a priori; see solve_fom).
+    times = jnp.arange(cfg.n_steps + 1, dtype=dtype) * dt_step
+    f_all = jax.vmap(
+        lambda tt: advdiff.load_vector(tt, mu, cfg, ops.nodes, dtype)
+    )(times)
+    f_theta = cfg.theta * f_all[1:] + (1.0 - cfg.theta) * f_all[:-1]
+    f_theta = f_theta.at[:, 0].set(0.0).at[:, -1].set(0.0)
+
+    def step(u_f, f_t):
+        rhs = (ops.rhs_mat @ u_f + f_t).at[0].set(0.0).at[-1].set(0.0)
         rhs_r = jnp.matmul(t.T, rhs, precision=DOT_PRECISION)
         u_r = jax.scipy.linalg.lu_solve(lu_r, rhs_r)
         u_next = jnp.matmul(t, u_r, precision=DOT_PRECISION)
         return u_next, None
 
-    u_final, _ = jax.lax.scan(step, u_fom, jnp.arange(cfg.n_steps, dtype=dtype))
+    u_final, _ = jax.lax.scan(step, u_fom, f_theta)
     return u_final
 
 
