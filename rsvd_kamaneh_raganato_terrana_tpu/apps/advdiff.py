@@ -203,13 +203,20 @@ class FOMResult(NamedTuple):
     times: jax.Array           # (n_steps + 1,)
 
 
+def default_fem_dtype():
+    """f64 when x64 is enabled (CPU science runs), else f32 (TPU)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 @partial(jax.jit, static_argnames=("cfg", "dtype", "include_initial"))
-def solve_fom(cfg: AdvDiffConfig, mu, dtype=jnp.float64,
+def solve_fom(cfg: AdvDiffConfig, mu, dtype=None,
               include_initial: bool = False) -> FOMResult:
     """Run the theta-method time loop, collecting every ``sample_every``-th
     solution as a snapshot column (reference solve + snapshot assembly,
     AdvDiff1D.cpp:343-409: snapshots are recorded at steps where
     ``time_step % sample_every == 0`` counting from step 1)."""
+    if dtype is None:
+        dtype = default_fem_dtype()
     mu = jnp.asarray(mu, dtype)
     ops = build_operators(cfg, mu, dtype)
     n_steps = cfg.n_steps
@@ -241,15 +248,17 @@ def solve_fom(cfg: AdvDiffConfig, mu, dtype=jnp.float64,
     return FOMResult(u_final, snaps, times)
 
 
-def solve_fom_sweep(cfg: AdvDiffConfig, mus, dtype=jnp.float64) -> FOMResult:
+def solve_fom_sweep(cfg: AdvDiffConfig, mus, dtype=None) -> FOMResult:
     """vmap-ed parameter sweep (reference Diff1D_openmp parallel snapshot
     loop).  Returns batched results; snapshot matrices can be concatenated
     column-wise into the global S (Diff1D.cpp:122-156)."""
+    if dtype is None:
+        dtype = default_fem_dtype()
     mus = jnp.asarray(mus, dtype)
     return jax.vmap(lambda m: solve_fom(cfg, m, dtype))(mus)
 
 
-def snapshot_matrix(cfg: AdvDiffConfig, mus, dtype=jnp.float64) -> jax.Array:
+def snapshot_matrix(cfg: AdvDiffConfig, mus, dtype=None) -> jax.Array:
     """Global snapshot matrix: Nh x (n_params * n_saved) with parameter
     blocks in sweep order (reference Diff1D.cpp:122-156)."""
     res = solve_fom_sweep(cfg, mus, dtype)

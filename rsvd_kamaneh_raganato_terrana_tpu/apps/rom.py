@@ -60,11 +60,13 @@ from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype"))
-def solve_rom(cfg: AdvDiffConfig, mu, modes, dtype=jnp.float64) -> jax.Array:
+def solve_rom(cfg: AdvDiffConfig, mu, modes, dtype=None) -> jax.Array:
     """Run the reduced time loop; returns the final-time expanded solution
     (reference solve_reduced, AdvDiff1D_POD.cpp:681-771).  Jitted with the
     config static: one compile per (config, rom-size) pair, then each
     parameter evaluation is a single device program."""
+    if dtype is None:
+        dtype = advdiff.default_fem_dtype()
     mu = jnp.asarray(mu, dtype)
     t = jnp.asarray(modes, dtype)          # Nh x r
     ops = build_operators(cfg, mu, dtype)
@@ -125,9 +127,11 @@ def run_pod_pipeline(
     pod_cfg: PodConfig,
     adv_cfg: AdvDiffConfig,
     out_dir: Optional[str] = None,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> PipelineResult:
     """The Diff1D.cpp main workflow (POD/.../Diff1D.cpp:18-301)."""
+    if dtype is None:
+        dtype = advdiff.default_fem_dtype()
     timings: Dict[str, float] = {}
     mus = np.linspace(pod_cfg.mu_min, pod_cfg.mu_max, pod_cfg.n)
 
@@ -190,7 +194,7 @@ def run_new_param_study(
     pod_cfg: PodConfig,
     adv_cfg: AdvDiffConfig,
     out_csv: Optional[str] = None,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> List[dict]:
     """Diff1D_new_prm.cpp workflow: train on n seen parameters, predict at
     the unseen mu_new, report per-rom-size error + FOM/ROM timings
@@ -257,7 +261,7 @@ def run_convergence_study(
     mu: float = 0.01,
     rom_modes: Optional[np.ndarray] = None,
     out_csv: Optional[str] = None,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> dict:
     """Temporal convergence of the FOM (and optionally the ROM) vs the
     exact manufactured solution (Diff1D_convergence.cpp)."""

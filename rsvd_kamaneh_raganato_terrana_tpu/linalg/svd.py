@@ -83,7 +83,9 @@ def svd(
     if method is SVDMethod.Jacobi:
         u, s, v = jacobi_svd(a, apply="scatter", **kwargs)
     elif method is SVDMethod.ParallelJacobi:
-        u, s, v = jacobi_svd(a, apply="gemm", **kwargs)
+        # the "parallel" engine picks the most parallel schedule for the
+        # size: GEMM rotation rounds for small n, block tournament above
+        u, s, v = jacobi_svd(a, apply="auto", **kwargs)
     elif method is SVDMethod.Power:
         k = r if r > 0 else min(a.shape)
         res = power_svd(a, k=k, **kwargs)

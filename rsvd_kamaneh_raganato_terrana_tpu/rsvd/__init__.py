@@ -6,6 +6,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     reconstruct,
     reconstruction_error,
     rsvd,
+    rsvd_adaptive,
     rsvd_image_preset,
     rsvd_with_omega,
     subspace_iteration,

@@ -27,6 +27,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed, sketch_matrix
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import orthonormal_basis
@@ -68,14 +69,22 @@ def _mm(a, b, precision=DOT_PRECISION):
 
 
 def power_refine(a, q_mat, q: int, qr_method: str = "robust",
-                 precision=DOT_PRECISION):
+                 precision=DOT_PRECISION, reorth: str = "full"):
     """q rounds of power-iteration subspace refinement with
     re-orthonormalization (the loop of reference intermediate_step,
-    src/rSVD.cpp:62-69)."""
+    src/rSVD.cpp:62-69).
+
+    ``reorth='full'`` orthonormalizes both the Z and Y sides each round
+    (reference behavior, safest); ``'half'`` skips the Z-side QR — the
+    round becomes Y = A A^T Q with one orthonormalization, halving the
+    QR-chain latency at the cost of squaring the intermediate condition
+    number (the robust QR's Householder fallback still catches
+    degeneracy)."""
     for _ in range(q):
         z = _mm(a.T, q_mat, precision)
-        z_q = orthonormal_basis(z, qr_method)
-        y = _mm(a, z_q, precision)
+        if reorth == "full":
+            z = orthonormal_basis(z, qr_method)
+        y = _mm(a, z, precision)
         q_mat = orthonormal_basis(y, qr_method)
     return q_mat
 
@@ -91,12 +100,15 @@ def subspace_iteration(a, omega, q: int, qr_method: str = "robust",
 
 def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
                     method: str = "jacobi", qr_method: str = "robust",
-                    precision: str | jax.lax.Precision = "highest"):
+                    precision: str | jax.lax.Precision = "highest",
+                    reorth: str = "full"):
     """rSVD given an explicit sketch matrix — the vmappable core (used by
     the tile-parallel image path, where each tile draws an independent
     Omega like the reference's per-rank RNG, image rSVD.cpp:89-101)."""
     prec = _PRECISIONS.get(precision, precision)
-    q_mat = subspace_iteration(a, omega, q, qr_method, prec)  # m x l
+    y = _mm(a, omega, prec)
+    q_mat = orthonormal_basis(y, qr_method)
+    q_mat = power_refine(a, q_mat, q, qr_method, prec, reorth)  # m x l
     b = _mm(q_mat.T, a, prec)                               # l x n (replicated)
     u_t, s, v = small_svd(b, method)
     u = _mm(q_mat, u_t)
@@ -170,6 +182,50 @@ def rsvd_image_preset(a, k: int = -1, seed: int = 0):
     if k is None or k < 0:
         k = min(m, n) // 4
     return rsvd(a, k=k, p=10, q=1, seed=seed)
+
+
+def rsvd_adaptive(
+    a,
+    tol: float,
+    k0: int = 16,
+    k_max: Optional[int] = None,
+    q: int = 2,
+    method: SVDMethod | str = "eigh",
+    seed: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array, int]:
+    """Adaptive-rank rSVD: the smallest rank k (within doubling
+    granularity of the sketch) with ||A - A_k||_F <= tol ||A||_F.
+
+    Returns (U[:, :k], s[:k], V[:, :k], k).  The error estimate is free:
+    for the projection A_l = Q Q^T A,
+    ||A - A_l||_F^2 = ||A||_F^2 - sum_i s_i^2 (Pythagoras), so each
+    doubling round reads the energy off the computed spectrum without
+    touching A again.  No reference counterpart (the reference takes k as
+    input); this is the "choose rank for an accuracy budget" workflow.
+    """
+    from jax.experimental import sparse as jsparse
+
+    if isinstance(a, jsparse.JAXSparse):
+        a_norm_sq = float(jnp.sum(jnp.square(a.data)))
+    else:
+        a_norm_sq = float(jnp.sum(jnp.square(jnp.asarray(a))))
+    min_dim = min(a.shape)
+    k_cap = min(k_max or min_dim, min_dim)
+    target_sq = (tol * tol) * a_norm_sq
+
+    l = min(k0, k_cap)
+    while True:
+        u, s, v = rsvd(a, k=0, p=l, q=q, method=method, seed=seed)
+        s64 = np.asarray(s, dtype=np.float64)
+        energy = np.cumsum(s64 * s64)
+        resid_sq = np.maximum(a_norm_sq - energy, 0.0)
+        ok = np.nonzero(resid_sq <= target_sq)[0]
+        if ok.size:
+            k = int(ok[0]) + 1
+            return u[:, :k], s[:k], v[:, :k], k
+        if l >= k_cap:
+            return u, s, v, int(s.shape[0])
+        l = min(2 * l, k_cap)
 
 
 def reconstruct(u, s, v):

@@ -1,0 +1,43 @@
+"""Adaptive-rank rSVD: rank selection for a Frobenius accuracy budget."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
+    reconstruction_error,
+    rsvd_adaptive,
+)
+
+
+def _decaying(rng, m, n, decay_to):
+    u, _ = np.linalg.qr(rng.standard_normal((m, min(m, n))))
+    v, _ = np.linalg.qr(rng.standard_normal((n, min(m, n))))
+    s = np.logspace(0, decay_to, min(m, n))
+    return (u * s) @ v.T
+
+
+def test_meets_tolerance(rng):
+    a = _decaying(rng, 120, 100, -6)
+    for tol in (1e-1, 1e-2, 1e-4):
+        u, s, v, k = rsvd_adaptive(jnp.asarray(a), tol=tol, k0=8)
+        err = float(reconstruction_error(a, u, s, v))
+        assert err <= tol * np.linalg.norm(a) * 1.05, (tol, k, err)
+
+
+def test_rank_grows_with_tighter_tolerance(rng):
+    a = _decaying(rng, 120, 100, -6)
+    ks = [rsvd_adaptive(jnp.asarray(a), tol=t, k0=8)[3]
+          for t in (1e-1, 1e-3, 1e-5)]
+    assert ks[0] < ks[1] < ks[2]
+
+
+def test_exact_rank_detection(rng):
+    b = rng.standard_normal((80, 5)) @ rng.standard_normal((5, 60))
+    u, s, v, k = rsvd_adaptive(jnp.asarray(b), tol=1e-9, k0=4)
+    assert k == 5
+
+
+def test_k_max_cap(rng):
+    a = rng.standard_normal((60, 60))  # flat spectrum: tol unreachable
+    u, s, v, k = rsvd_adaptive(jnp.asarray(a), tol=1e-8, k0=8, k_max=16)
+    assert k <= 16
