@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="data/output/pod")
     ap.add_argument("--deltats", default="5e-3,2.5e-3,1.25e-3",
                     help="convergence-mode dt list")
+    ap.add_argument("--rom-size", type=int, default=0,
+                    help="convergence mode: also track the ROM error with "
+                         "this many modes (Diff1D_convergence.cpp computed "
+                         "both FOM and ROM errors)")
     args = ap.parse_args(argv)
 
     import jax
@@ -70,14 +74,34 @@ def main(argv=None):
             print(",".join(str(r[k]) for k in keys))
     else:
         dts = [float(x) for x in args.deltats.split(",")]
+        rom_modes = None
+        if args.rom_size > 0:
+            import numpy as np
+
+            from rsvd_kamaneh_raganato_terrana_tpu.apps import advdiff
+            from rsvd_kamaneh_raganato_terrana_tpu.apps.pod import make_pod
+
+            mus = np.linspace(pod_cfg.mu_min, pod_cfg.mu_max, pod_cfg.n)
+            snaps = advdiff.snapshot_matrix(adv_cfg, mus)
+            pod_res = make_pod(pod_cfg.pod_type, snaps, pod_cfg.rank,
+                               pod_cfg.tol, pod_cfg.svd_type)
+            rom_modes = pod_res.modes[:, : args.rom_size]
         out = rom.run_convergence_study(
-            adv_cfg, dts, mu=pod_cfg.mu_min,
+            adv_cfg, dts, mu=pod_cfg.mu_min, rom_modes=rom_modes,
             out_csv=os.path.join(args.out_dir, "convergence.csv"),
         )
-        print(f"{'deltat':>10} {'L2':>12} {'H1':>12}")
+        cols = f"{'deltat':>10} {'L2':>12} {'H1':>12}"
+        if rom_modes is not None:
+            cols += f" {'ROM L2':>12}"
+        print(cols)
         for i, dt in enumerate(dts):
-            print(f"{dt:>10.2e} {out['fom_l2'][i]:>12.4e} {out['fom_h1'][i]:>12.4e}")
+            line = f"{dt:>10.2e} {out['fom_l2'][i]:>12.4e} {out['fom_h1'][i]:>12.4e}"
+            if rom_modes is not None:
+                line += f" {out['rom_l2'][i]:>12.4e}"
+            print(line)
         print(f"observed temporal orders: {out['fom_order']}")
+        if rom_modes is not None:
+            print(f"ROM temporal orders: {out['rom_order']}")
 
 
 if __name__ == "__main__":

@@ -17,12 +17,12 @@ the design is TPU-native end to end:
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import ROWS_AXIS
 from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION

@@ -18,7 +18,7 @@ a trivial mesh, so calling code is identical at every scale.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -26,7 +26,7 @@ Frobenius mass of W^T W falls below tol times the diagonal mass
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional, Tuple
 
 import jax

@@ -19,7 +19,7 @@ used (src/rSVD.cpp:89-128).
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ SVD_class.hpp:214 — and made callers compensate; we do not replicate that).
 from __future__ import annotations
 
 import enum
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

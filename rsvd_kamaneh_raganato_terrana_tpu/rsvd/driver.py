@@ -119,10 +119,11 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
 
 @partial(
     jax.jit,
-    static_argnames=("k", "p", "q", "method", "sketch", "qr_method", "seed",
+    static_argnames=("k", "p", "q", "method", "sketch", "qr_method",
                      "precision"),
 )
 def _rsvd_impl(a, *, k, p, q, method, sketch, qr_method, seed, precision):
+    # note: seed is a traced argument — changing it does NOT recompile
     m, n = a.shape
     l = min(k + p if k > 0 else p, min(m, n))
     prec = _PRECISIONS.get(precision, precision)

@@ -27,7 +27,7 @@ scale-out role described in BASELINE.json.
 
 from __future__ import annotations
 
-import math
+
 from typing import Optional, Tuple
 
 import jax
