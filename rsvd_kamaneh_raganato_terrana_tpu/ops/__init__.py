@@ -7,12 +7,14 @@ from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import (  # noqa: F401
     gram,
     gram_sharded,
     matmul,
+    matmul_reduce_scatter,
     matmul_sharded,
     matvec,
     matvec_sharded,
     norm_sharded,
     normalize,
     normalize_sharded,
+    ring_shift_rows,
     transpose,
     transpose_sharded,
 )

@@ -174,6 +174,41 @@ def gram_sharded(mesh: Mesh, a, axis: str = ROWS_AXIS):
     )(a)
 
 
+def matmul_reduce_scatter(mesh: Mesh, a, b, axis: str = ROWS_AXIS):
+    """C = A @ B with A column-sharded and B row-sharded over ``axis``:
+    each device holds a partial full-size product; the sum is
+    reduce-scattered so C comes back row-sharded — the collective the
+    reference's Gatherv-to-root matmul could not express (everything
+    landed on rank 0, image matrixOperations.cpp:64-74)."""
+
+    def local(a_blk, b_blk):
+        partial_c = jnp.matmul(a_blk, b_blk, precision=DOT_PRECISION)
+        return jax.lax.psum_scatter(partial_c, axis, scatter_dimension=0,
+                                    tiled=True)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(None, axis), _row_specs(axis)),
+        out_specs=_row_specs(axis),
+    )(a, b)
+
+
+def ring_shift_rows(mesh: Mesh, a, shift: int = 1, axis: str = ROWS_AXIS):
+    """Cyclically move row shards ``shift`` devices around the ring with
+    `ppermute` — the halo-exchange / ring-pipeline building block
+    (ICI-neighbor traffic; no reference counterpart, MPI would use
+    Sendrecv)."""
+
+    def local(a_blk):
+        n = jax.lax.axis_size(axis)
+        perm = [(i, (i + shift) % n) for i in range(n)]
+        return jax.lax.ppermute(a_blk, axis, perm)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(_row_specs(axis),),
+        out_specs=_row_specs(axis),
+    )(a)
+
+
 def generate_gaussian_sharded(mesh: Mesh, key, shape, dtype=jnp.float32,
                               axis: str = ROWS_AXIS):
     """Row-sharded Gaussian generation (mpi_mat_gen.cpp:14-54) — each shard

@@ -54,6 +54,34 @@ def test_gram_sharded(mesh8, rng):
     np.testing.assert_allclose(np.asarray(g), a.T @ a, rtol=1e-11)
 
 
+def test_matmul_reduce_scatter(mesh8, rng):
+    """Col-sharded A x row-sharded B with a reduce-scattered sum — the
+    contraction-dimension-sharded GEMM (SURVEY section 2.7 mapping)."""
+    a = rng.standard_normal((64, 32))
+    b = rng.standard_normal((32, 24))
+    a_cols = jax.device_put(
+        jnp.asarray(a), jax.sharding.NamedSharding(
+            mesh8, jax.sharding.PartitionSpec(None, "rows"))
+    )
+    b_rows = meshlib.shard_rows(jnp.asarray(b), mesh8)
+    c = ops.matmul_reduce_scatter(mesh8, a_cols, b_rows)
+    np.testing.assert_allclose(np.asarray(c), a @ b, rtol=1e-11, atol=1e-12)
+
+
+def test_ring_shift_rows(mesh8, rng):
+    a = rng.standard_normal((64, 8))  # 8 rows per device
+    a_sh = meshlib.shard_rows(jnp.asarray(a), mesh8)
+    shifted = ops.ring_shift_rows(mesh8, a_sh, shift=1)
+    # shard i's rows move to device i+1: global rows rotate by one block
+    expect = np.roll(a.reshape(8, 8, 8), 1, axis=0).reshape(64, 8)
+    np.testing.assert_array_equal(np.asarray(shifted), expect)
+    # full ring = identity
+    back = a_sh
+    for _ in range(8):
+        back = ops.ring_shift_rows(mesh8, back, shift=1)
+    np.testing.assert_array_equal(np.asarray(back), a)
+
+
 def test_gaussian_sharded_matches_unsharded(mesh8):
     """Shard-count invariance: the property the reference's per-rank RNG
     (mt19937(rd()+rank), src/rSVD.cpp:28) did NOT have."""
