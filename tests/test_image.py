@@ -94,6 +94,19 @@ def test_codec_roundtrip_affine(rng, tmp_path):
     assert os.path.getsize(path) < (64 * l + l + 64 * l) + 200
 
 
+def test_codec_truncate_mode(rng, tmp_path):
+    """Reference-exact byte semantics (int(x) & 0xFF,
+    image_com.cpp:94-118): lossy for fractional/negative values by
+    design; file must roundtrip to the truncated bytes."""
+    a = _lowrank(rng, 32, 32, 3)
+    im = Image(a).compress(k=4)
+    path = str(tmp_path / "t.rsv")
+    im.save_compressed(path, mode="truncate")
+    im2 = Image(a).load_compressed(path)
+    expect_u = (im.U.astype(np.int64) & 0xFF).astype(np.float64)
+    np.testing.assert_array_equal(im2.U, expect_u)
+
+
 def test_codec_tiled_roundtrip(rng, tmp_path):
     a = _lowrank(rng, 64, 64, 4)
     im = Image(a).compress_tiled(k=6, grid=(2, 2))
