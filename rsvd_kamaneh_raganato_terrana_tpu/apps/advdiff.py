@@ -244,7 +244,6 @@ def solve_fom(cfg: AdvDiffConfig, mu, dtype=None,
     snaps = sampled.T
     if include_initial:
         snaps = jnp.concatenate([u0[:, None], snaps], axis=1)
-    times = jnp.linspace(0.0, n_steps * dt, n_steps + 1, dtype=dtype)
     return FOMResult(u_final, snaps, times)
 
 

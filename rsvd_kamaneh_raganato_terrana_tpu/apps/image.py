@@ -129,11 +129,17 @@ class Image:
         if k < 0:
             k = min(m, n) // 4
         if self.is_color:
+            from rsvd_kamaneh_raganato_terrana_tpu.core.rng import sketch_matrix
+
             chans = jnp.asarray(np.moveaxis(self._data, 2, 0), dtype=dtype)
             l = min(k + p, min(m, n))
-            omega = jax.random.normal(jax.random.PRNGKey(seed), (n, l), dtype)
+            omega = sketch_matrix(jax.random.PRNGKey(seed), n, l, dtype)
+            # qr_method='householder': under vmap a lax.cond runs BOTH
+            # branches, so the 'robust' CholeskyQR fallback would compute
+            # Householder anyway — pick it directly (cheap at tile sizes).
             u, s, v = jax.jit(
-                jax.vmap(lambda t: rsvd_with_omega(t, omega, q=q, k=k))
+                jax.vmap(lambda t: rsvd_with_omega(
+                    t, omega, q=q, k=k, qr_method="householder"))
             )(chans)
             self.U, self.S, self.V = (np.asarray(u), np.asarray(s),
                                       np.asarray(v))
@@ -166,10 +172,12 @@ class Image:
             .swapaxes(1, 2)
             .reshape(gy * gx, th, tw)
         )
+        from rsvd_kamaneh_raganato_terrana_tpu.core.rng import sketch_matrix
+
         l = min(k + p, min(th, tw))
         key = jax.random.PRNGKey(seed)
         omegas = jax.vmap(
-            lambda i: jax.random.normal(fold_in_shard(key, i), (tw, l), dtype)
+            lambda i: sketch_matrix(fold_in_shard(key, i), tw, l, dtype)
         )(jnp.arange(gy * gx))
         tiles_dev = jnp.asarray(tiles, dtype=dtype)
         if mesh is not None and (gy * gx) % mesh.devices.size == 0:
@@ -184,8 +192,11 @@ class Image:
 
         @jax.jit
         def run(ts, oms):
+            # householder QR: under vmap, the 'robust' path's lax.cond
+            # runs both branches per tile anyway — see compress()
             return jax.vmap(
-                lambda t, o: rsvd_with_omega(t, o, q=q, k=k)
+                lambda t, o: rsvd_with_omega(t, o, q=q, k=k,
+                                             qr_method="householder")
             )(ts, oms)
 
         u, s, v = run(tiles_dev, omegas)
@@ -226,6 +237,8 @@ class Image:
         if self.tile_factors is not None:
             tf = self.tile_factors
             return pixels / (tf.u.size + tf.s.size + tf.v.size)
+        if self.U is None:
+            raise RuntimeError("compress() first")
         if self.U.ndim == 3:
             return pixels / (self.U.size + self.S.size + self.V.size)
         l = self.S.shape[0]

@@ -27,8 +27,11 @@ def _read_python(path: str) -> np.ndarray:
         header = f.readline().decode()
         if not header.startswith("%%MatrixMarket"):
             raise ValueError(f"{path}: not a MatrixMarket file")
-        tokens = header.split()
+        tokens = [t.lower() for t in header.split()]
         fmt = tokens[2] if len(tokens) > 2 else "coordinate"
+        symmetry = tokens[4] if len(tokens) > 4 else "general"
+        if symmetry not in ("general", "symmetric", "skew-symmetric"):
+            raise ValueError(f"{path}: unsupported symmetry {symmetry!r}")
         line = f.readline().decode()
         while line.startswith("%"):
             line = f.readline().decode()
@@ -36,7 +39,8 @@ def _read_python(path: str) -> np.ndarray:
         if fmt == "array":
             rows, cols = int(dims[0]), int(dims[1])
             data = np.loadtxt(f, dtype=np.float64)
-            return np.asarray(data).reshape(cols, rows).T  # column-major
+            out = np.asarray(data).reshape(cols, rows).T  # column-major
+            return _apply_symmetry(out, symmetry)
         rows, cols = int(dims[0]), int(dims[1])
         entries = np.loadtxt(f, dtype=np.float64, ndmin=2)
         out = np.zeros((rows, cols), dtype=np.float64)
@@ -45,7 +49,20 @@ def _read_python(path: str) -> np.ndarray:
             j = entries[:, 1].astype(np.int64) - 1
             v = entries[:, 2] if entries.shape[1] > 2 else np.ones(len(i))
             out[i, j] = v
+        return _apply_symmetry(out, symmetry)
+
+
+def _apply_symmetry(out: np.ndarray, symmetry: str) -> np.ndarray:
+    """Mirror the stored triangle for symmetric/skew-symmetric files
+    (only one triangle is stored in those formats)."""
+    if symmetry == "general":
         return out
+    sign = -1.0 if symmetry == "skew-symmetric" else 1.0
+    mirrored = out + sign * out.T
+    # entries present on the diagonal would be doubled by the mirror
+    if symmetry == "symmetric":
+        np.fill_diagonal(mirrored, np.diagonal(out))
+    return mirrored
 
 
 def read_matrix_market(path: str, dtype=None) -> np.ndarray:

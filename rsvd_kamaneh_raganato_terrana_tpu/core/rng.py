@@ -17,8 +17,13 @@ import jax.numpy as jnp
 
 
 def key_from_seed(seed: int | jax.Array) -> jax.Array:
-    if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype, jnp.integer) is False:
-        return seed  # already a PRNG key
+    """Accept an int seed, a new-style typed PRNG key, or a raw uint32
+    (2,) key (what jax.random.PRNGKey returns under the default impl)."""
+    if isinstance(seed, jax.Array):
+        if jnp.issubdtype(seed.dtype, jax.dtypes.prng_key):
+            return seed  # new-style typed key
+        if seed.ndim == 1 and seed.dtype == jnp.uint32:
+            return seed  # raw threefry key data
     return jax.random.PRNGKey(seed)
 
 

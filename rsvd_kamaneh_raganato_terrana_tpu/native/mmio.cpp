@@ -42,11 +42,19 @@ int mmio_read(const char* path, double** out_data, int64_t* out_rows,
   const char* p = buf.c_str();
   const char* end = p + buf.size();
 
-  // Header line.
+  // Header line (case-insensitive qualifiers).
   if (std::strncmp(p, "%%MatrixMarket", 14) != 0) return 3;
   const char* line_end = static_cast<const char*>(std::memchr(p, '\n', end - p));
   if (!line_end) return 3;
-  bool array_fmt = std::strstr(std::string(p, line_end - p).c_str(), "array") != nullptr;
+  std::string header(p, line_end - p);
+  for (char& ch : header) ch = static_cast<char>(std::tolower(ch));
+  bool array_fmt = header.find("array") != std::string::npos;
+  // symmetric files store one triangle only; mirror after filling.
+  bool skew = header.find("skew-symmetric") != std::string::npos;
+  bool symmetric = !skew && header.find("symmetric") != std::string::npos;
+  if (header.find("hermitian") != std::string::npos ||
+      header.find("complex") != std::string::npos)
+    return 7;  // unsupported field/symmetry
   p = line_end + 1;
 
   // Skip comments.
@@ -94,6 +102,19 @@ int mmio_read(const char* path, double** out_data, int64_t* out_rows,
     }
   }
 
+  if ((symmetric || skew) && rows == cols) {
+    double sign = skew ? -1.0 : 1.0;
+    for (int64_t i = 0; i < rows; ++i) {
+      for (int64_t j = 0; j < i; ++j) {
+        double lower = data[i * cols + j];
+        double upper = data[j * cols + i];
+        // one triangle is stored; mirror whichever side is present
+        if (lower != 0.0 && upper == 0.0) data[j * cols + i] = sign * lower;
+        else if (upper != 0.0 && lower == 0.0) data[i * cols + j] = sign * upper;
+      }
+    }
+  }
+
   *out_data = data;
   *out_rows = rows;
   *out_cols = cols;
@@ -115,7 +136,6 @@ int mmio_write(const char* path, const double* data, int64_t rows,
   std::fprintf(f, "%lld %lld %lld\n", static_cast<long long>(rows),
                static_cast<long long>(cols), static_cast<long long>(nnz));
 
-  std::vector<char> line(64);
   for (int64_t i = 0; i < rows; ++i) {
     for (int64_t j = 0; j < cols; ++j) {
       double v = data[i * cols + j];

@@ -64,6 +64,35 @@ def test_native_codec(rng):
     assert list(qt.ravel()) == [1, 255, 0, 255]
 
 
+def test_symmetric_matrix_market(tmp_path):
+    """'coordinate real symmetric' stores one triangle; both readers must
+    mirror it (regression: the mirrored half loaded as zeros)."""
+    path = str(tmp_path / "sym.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write("3 3 4\n1 1 2.0\n2 1 5.0\n3 2 -1.0\n3 3 4.0\n")
+    expect = np.array([[2.0, 5.0, 0.0], [5.0, 0.0, -1.0], [0.0, -1.0, 4.0]])
+    np.testing.assert_allclose(_read_python(path), expect)
+    lib = get_native_lib()
+    if lib is not None:
+        np.testing.assert_allclose(lib.read_mtx(path), expect)
+
+
+def test_key_from_seed_accepts_keys():
+    """generate_omega's documented key-or-seed API (regression: raw uint32
+    keys crashed)."""
+    import jax
+
+    from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed
+
+    raw = jax.random.PRNGKey(0)
+    assert key_from_seed(raw) is raw
+    typed = jax.random.key(0)
+    assert key_from_seed(typed) is typed
+    k = key_from_seed(7)  # int seed still works
+    assert k is not None
+
+
 def test_pca_dataset_loader():
     data, labels = load_whitespace_dataset(
         os.path.join(DATA_DIR, "pca", "tourists.txt"), skip_cols=3
