@@ -1,8 +1,7 @@
 """rSVD scale sweep on the accelerator: size x rank grid with chain-delta
 timing (see bench.py for why single-shot timing is invalid through the TPU
-tunnel).  Writes CSV with per-iteration ms, achieved GFLOP/s, and the
-reconstruction-error ratio vs the Eckart-Young optimum computed from the
-device-side spectrum.
+tunnel).  Writes CSV with per-iteration ms and achieved GFLOP/s per
+(n, k, method, precision) configuration.
 
 Usage: python benchmarks/scale_sweep.py [--sizes 2048,4096,8192,16384]
        [--ranks 64,128] [--method eigh] [--out bench_results/scale_sweep.csv]
@@ -81,6 +80,9 @@ def main():
             print(row, flush=True)
         del a
 
+    if not rows:
+        print("no configurations ran; nothing to write")
+        return
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

@@ -34,20 +34,28 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize the JAX distributed runtime (no-op when single-process
-    or already initialized).  Arguments default to the standard
-    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env
-    variables, matching TPU pod launch conventions."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    """Initialize the JAX distributed runtime.
+
+    MUST be called before any other JAX operation (jax.distributed's own
+    contract: it fails once the XLA backend is up, so this function never
+    touches the backend itself — no jax.process_count() probing).
+    No-op when neither arguments nor JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES env vars indicate a multi-process launch, and
+    tolerant of a launcher having already initialized the runtime."""
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr is None and num_processes is None:
+    if addr is None and num_processes is None and \
+            os.environ.get("JAX_NUM_PROCESSES") is None:
         return  # single host
-    jax.distributed.initialize(
-        coordinator_address=addr,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # launcher pre-initialized the runtime
+        raise
 
 
 def make_pod_mesh(ici_axis: str = ROWS_AXIS, dcn_axis: str = DCN_AXIS) -> Mesh:

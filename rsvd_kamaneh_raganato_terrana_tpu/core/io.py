@@ -32,6 +32,13 @@ def _read_python(path: str) -> np.ndarray:
         symmetry = tokens[4] if len(tokens) > 4 else "general"
         if symmetry not in ("general", "symmetric", "skew-symmetric"):
             raise ValueError(f"{path}: unsupported symmetry {symmetry!r}")
+        if fmt == "array" and symmetry != "general":
+            # conforming array-symmetric files store a packed triangle,
+            # which neither reader implements — fail loudly, don't guess
+            raise ValueError(
+                f"{path}: array-format symmetric files are not supported "
+                "(packed-triangle layout); convert to coordinate format"
+            )
         line = f.readline().decode()
         while line.startswith("%"):
             line = f.readline().decode()
@@ -53,16 +60,16 @@ def _read_python(path: str) -> np.ndarray:
 
 
 def _apply_symmetry(out: np.ndarray, symmetry: str) -> np.ndarray:
-    """Mirror the stored triangle for symmetric/skew-symmetric files
-    (only one triangle is stored in those formats)."""
+    """Mirror the stored triangle for symmetric/skew-symmetric coordinate
+    files.  Only positions whose opposite entry is zero are filled, so a
+    (non-conforming) file that stored both triangles is not doubled —
+    matching the native parser's semantics."""
     if symmetry == "general":
         return out
     sign = -1.0 if symmetry == "skew-symmetric" else 1.0
-    mirrored = out + sign * out.T
-    # entries present on the diagonal would be doubled by the mirror
-    if symmetry == "symmetric":
-        np.fill_diagonal(mirrored, np.diagonal(out))
-    return mirrored
+    mirror = np.where((out == 0) & (out.T != 0), sign * out.T, 0.0)
+    np.fill_diagonal(mirror, 0.0)
+    return out + mirror
 
 
 def read_matrix_market(path: str, dtype=None) -> np.ndarray:

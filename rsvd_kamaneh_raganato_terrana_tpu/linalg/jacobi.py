@@ -321,26 +321,46 @@ def _block_jacobi_core(a, tol, max_sweeps: int, block_size: int):
         (a, v0, jnp.int32(0), off0, jnp.full_like(off0, jnp.inf)),
     )
 
-    # Polish: the block path's floor is set by the eigh accuracy of the
-    # pair Grams (~1e-2 normalized off-diagonals for small singular values
-    # in f32).  Two scalar tournament sweeps of element-wise 2x2 rotations
-    # (accurate to the dtype's eps) finish the orthogonalization from the
-    # near-converged state.
+    # Polish: the pair-Gram eigh mixes columns of wildly different scales
+    # in one factorization, so its accuracy floor is eps * (sigma_max /
+    # sigma_i)^2 — small-singular-value subspaces cannot be orthogonalized
+    # by block rotations at all.  Scalar 2x2 rotations are per-pair
+    # scale-INVARIANT (they depend only on gamma / sqrt(alpha beta)), so a
+    # gated while_loop of scalar tournament sweeps finishes the job: zero
+    # sweeps when the block phase already hit tol (no cost when converged),
+    # up to 8 sweeps for wide-dynamic-range spectra — matching the scalar
+    # engine's quality from the block phase's accelerated start.
     eps_rel = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     sched_s = jnp.asarray(round_robin_schedule(n))
     n_rounds_s = sched_s.shape[0]
 
     def polish_round(r, carry):
         w_c, v_c = carry
-        pairs = jax.lax.dynamic_index_in_dim(sched_s, r % n_rounds_s,
-                                             keepdims=False)
+        pairs = jax.lax.dynamic_index_in_dim(sched_s, r, keepdims=False)
         p_idx = pairs[:, 0]
         q_idx = pairs[:, 1]
         c, s_ = _pair_rotations(w_c[:, p_idx], w_c[:, q_idx], eps_rel)
         return _apply_round_scatter(w_c, v_c, p_idx, q_idx,
                                     c.astype(dtype), s_.astype(dtype))
 
-    w, v = jax.lax.fori_loop(0, 2 * n_rounds_s, polish_round, (w, v))
+    def pol_cond(state):
+        w_c, v_c, i, off = state
+        # Pure tolerance + budget, like the scalar engine: the max metric
+        # is non-monotone mid-convergence, so a progress guard would abort
+        # prematurely; converged inputs skip the loop entirely, and scalar
+        # rotations do reach tol in every dtype (they are per-pair
+        # scale-invariant, unlike the block phase's pair eigh).
+        return jnp.logical_and(i < max_sweeps, off > tol)
+
+    def pol_body(state):
+        w_c, v_c, i, off = state
+        w_c, v_c = jax.lax.fori_loop(0, n_rounds_s, polish_round, (w_c, v_c))
+        return (w_c, v_c, i + 1, _max_normalized_offdiag(w_c))
+
+    w, v, _, _ = jax.lax.while_loop(
+        pol_cond, pol_body,
+        (w, v, jnp.int32(0), _max_normalized_offdiag(w)),
+    )
 
     # Block rotations can move the zero pad columns anywhere inside their
     # block pair, so sort first and keep the n_orig largest.
@@ -357,7 +377,7 @@ def _block_jacobi_core(a, tol, max_sweeps: int, block_size: int):
 def jacobi_svd(
     a,
     tol: Optional[float] = None,
-    max_sweeps: int = 30,
+    max_sweeps: int = 60,
     apply: str = "auto",
     precondition: bool = True,
     block_size: int = 64,
@@ -374,7 +394,9 @@ def jacobi_svd(
     square min-dim factor, like the reference's HouseholderQR precondition
     (SVD_class.hpp:110-123).  ``apply='block'`` uses the block tournament
     (`_block_jacobi_core`) — nb-1 rounds of vmapped 2b x 2b eigh + batched
-    GEMMs, the preferred engine for n > ~256.
+    GEMMs followed by a gated scalar polish; opt-in: the pair-Gram eigh
+    cannot resolve small-singular-value subspaces, so for wide-dynamic-
+    range spectra the polish dominates and plain ``scatter`` is faster.
     """
     a = jnp.asarray(a)
     m, n = a.shape
@@ -387,7 +409,7 @@ def jacobi_svd(
     if tol is None:
         tol = 30.0 * float(jnp.finfo(dtype).eps)
     if apply == "auto":
-        apply = "gemm" if n <= 256 else "block"
+        apply = "gemm" if n <= 256 else "scatter"
 
     def core(x):
         if apply == "block":

@@ -83,8 +83,9 @@ def svd(
     if method is SVDMethod.Jacobi:
         u, s, v = jacobi_svd(a, apply="scatter", **kwargs)
     elif method is SVDMethod.ParallelJacobi:
-        # the "parallel" engine picks the most parallel schedule for the
-        # size: GEMM rotation rounds for small n, block tournament above
+        # GEMM rotation rounds for small n, vectorized scatter above
+        # (correct for any spectrum; the block tournament is opt-in via
+        # jacobi_svd(apply='block') — see its docstring)
         u, s, v = jacobi_svd(a, apply="auto", **kwargs)
     elif method is SVDMethod.Power:
         k = r if r > 0 else min(a.shape)

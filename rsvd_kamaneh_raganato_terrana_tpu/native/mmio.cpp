@@ -55,6 +55,8 @@ int mmio_read(const char* path, double** out_data, int64_t* out_rows,
   if (header.find("hermitian") != std::string::npos ||
       header.find("complex") != std::string::npos)
     return 7;  // unsupported field/symmetry
+  if (array_fmt && (symmetric || skew))
+    return 7;  // array-symmetric stores a packed triangle: unsupported
   p = line_end + 1;
 
   // Skip comments.

@@ -90,12 +90,12 @@ def power_refine(a, q_mat, q: int, qr_method: str = "robust",
 
 
 def subspace_iteration(a, omega, q: int, qr_method: str = "robust",
-                       precision=DOT_PRECISION):
+                       precision=DOT_PRECISION, reorth: str = "full"):
     """Stage A: range finder with q power-iteration refinements
     (reference intermediate_step, src/rSVD.cpp:57-70)."""
     y = _mm(a, omega, precision)
     q_mat = orthonormal_basis(y, qr_method)
-    return power_refine(a, q_mat, q, qr_method, precision)
+    return power_refine(a, q_mat, q, qr_method, precision, reorth)
 
 
 def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
@@ -106,9 +106,7 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
     the tile-parallel image path, where each tile draws an independent
     Omega like the reference's per-rank RNG, image rSVD.cpp:89-101)."""
     prec = _PRECISIONS.get(precision, precision)
-    y = _mm(a, omega, prec)
-    q_mat = orthonormal_basis(y, qr_method)
-    q_mat = power_refine(a, q_mat, q, qr_method, prec, reorth)  # m x l
+    q_mat = subspace_iteration(a, omega, q, qr_method, prec, reorth)  # m x l
     b = _mm(q_mat.T, a, prec)                               # l x n (replicated)
     u_t, s, v = small_svd(b, method)
     u = _mm(q_mat, u_t)

@@ -72,6 +72,30 @@ def test_block_apply_nondividing_block(rng):
     _check_svd(a, u, s, v)
 
 
+def test_block_apply_wide_dynamic_range(rng):
+    """The block phase's pair eigh cannot resolve small-sigma subspaces;
+    the gated scalar polish must recover full orthogonality (regression:
+    U-ortho was ~8.8 on this class of spectrum)."""
+    n = 96
+    uq, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    vq, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = np.logspace(0, -10, n)
+    s[30:36] = 1e-5  # cluster
+    a = (uq * s) @ vq.T
+    u, sg, v = jacobi_svd(jnp.asarray(a), apply="block", block_size=16)
+    assert np.linalg.norm(np.asarray(u.T @ u) - np.eye(n)) < 1e-10
+    assert np.linalg.norm(np.asarray(v.T @ v) - np.eye(n)) < 1e-10
+
+
+def test_auto_large_n_uses_correct_engine(rng):
+    """auto selects the scatter engine above n=256 (correct for any
+    spectrum; block is opt-in)."""
+    a = rng.standard_normal((40, 300))  # wide: transposed internally
+    u, s, v = jacobi_svd(jnp.asarray(a), apply="auto")
+    s_np = np.linalg.svd(a, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s), s_np, atol=1e-10 * s_np[0])
+
+
 def test_block_apply_rank_deficient(rng):
     b = rng.standard_normal((80, 6))
     a = b @ rng.standard_normal((6, 60))
