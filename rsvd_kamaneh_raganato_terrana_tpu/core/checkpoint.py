@@ -36,6 +36,37 @@ def load_factors(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict]:
         return z["U"], z["S"], z["V"], json.loads(str(z["meta"]))
 
 
+def save_factors_orbax(path: str, U, S, V, meta: Optional[Dict] = None) -> None:
+    """Orbax-backed factor checkpoint (directory format): async-capable,
+    shard-aware persistence for large device-resident factors — the
+    training-style checkpoint the reference lacked (SURVEY section 5).
+    Use the .npz functions for small host-side factors."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = {"U": U, "S": S, "V": V}
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+    if meta:
+        with open(os.path.join(os.path.abspath(path), "factor_meta.json"),
+                  "w") as f:
+            json.dump(meta, f)
+
+
+def load_factors_orbax(path: str):
+    """Restore an orbax factor checkpoint; returns (U, S, V, meta)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.abspath(path))
+    meta_path = os.path.join(os.path.abspath(path), "factor_meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state["U"], state["S"], state["V"], meta
+
+
 def export_matrix_market(out_dir: str, stem: str, U, S, V) -> None:
     """Reference-layout export: <stem>_U.mtx / _S.mtx / _V.mtx under out_dir
     (tests/rSVD_test.cpp:108-115 wrote data/output/rSVD/my/)."""

@@ -42,6 +42,25 @@ def test_export_matrix_market_layout(tmp_path, rng):
         np.testing.assert_allclose(back, ref, atol=1e-15)
 
 
+def test_orbax_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from rsvd_kamaneh_raganato_terrana_tpu.core.checkpoint import (
+        load_factors_orbax,
+        save_factors_orbax,
+    )
+
+    u = jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32))
+    s = jnp.asarray(rng.random(4).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((12, 4)).astype(np.float32))
+    path = str(tmp_path / "ck")
+    save_factors_orbax(path, u, s, v, meta={"k": 4})
+    u2, s2, v2, meta = load_factors_orbax(path)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s2))
+    assert meta == {"k": 4}
+
+
 def test_phase_timer_csv(tmp_path):
     pt = PhaseTimer()
     with pt.phase("alpha"):
