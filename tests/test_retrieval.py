@@ -31,6 +31,26 @@ def test_top_k_matches_dense_argmax(rng):
     np.testing.assert_array_equal(np.asarray(items), expect)
 
 
+def test_quantized_retrieval(rng):
+    """int8 tables: scores within quantization error; top-k mostly agrees
+    with the f32 ranking."""
+    a = _interactions(rng, n_users=96, n_items=120, rank=8)
+    tables = retrieval.factorize_interactions(jnp.asarray(a), k=8)
+    qt = retrieval.quantize_tables(tables)
+    assert qt.users_q.dtype.name == "int8" and qt.items_q.dtype.name == "int8"
+    ids = jnp.asarray([0, 7, 33])
+    full = np.asarray(retrieval.score(tables, ids))
+    quant = np.asarray(retrieval.score_quantized(qt, ids))
+    scale = np.abs(full).max()
+    assert np.abs(full - quant).max() < 0.03 * scale
+    vals_q, items_q = retrieval.top_k_items_quantized(qt, ids, k=10)
+    vals_f, items_f = retrieval.top_k_items(tables, ids, k=10)
+    # top-10 overlap >= 8/10 per user under 1% quantization noise
+    for r in range(3):
+        overlap = len(set(np.asarray(items_q)[r]) & set(np.asarray(items_f)[r]))
+        assert overlap >= 8, overlap
+
+
 def test_sharded_top_k_matches_single_device(mesh8, rng):
     a = _interactions(rng, n_users=64, n_items=128)
     a_sh = shard_rows(jnp.asarray(a), mesh8)
