@@ -37,17 +37,21 @@ from rsvd_kamaneh_raganato_terrana_tpu.core.rng import fold_in_shard
 from rsvd_kamaneh_raganato_terrana_tpu.native import get_native_lib
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd, rsvd_with_omega
 
-_MAGIC = b"RSV1"
+_MAGIC = b"RSV2"
 
 
 @dataclass
 class TileFactors:
-    """Per-tile factor triple for tiled compression."""
+    """Per-tile factor triple for tiled compression.
+
+    ``shape`` is the ORIGINAL (pre-padding) image shape: non-dividing
+    grids pad with edge replication and reconstruction crops back."""
 
     u: np.ndarray  # (tiles, th, l)
     s: np.ndarray  # (tiles, l)
     v: np.ndarray  # (tiles, tw, l)
     grid: Tuple[int, int]
+    shape: Optional[Tuple[int, int]] = None
 
 
 class Image:
@@ -163,11 +167,16 @@ class Image:
                              "use compress() for color images")
         gy, gx = grid
         m, n = self._data.shape
-        th, tw = m // gy, n // gx
-        if th * gy != m or tw * gx != n:
-            raise ValueError(f"image {m}x{n} not divisible by grid {grid}")
+        # Non-dividing grids: pad with edge replication (compression-
+        # friendly, unlike zeros) and crop at reconstruction — the
+        # reference aborted on non-square process counts instead.
+        th, tw = -(-m // gy), -(-n // gx)
+        data = self._data
+        pad_m, pad_n = gy * th - m, gx * tw - n
+        if pad_m or pad_n:
+            data = np.pad(data, ((0, pad_m), (0, pad_n)), mode="edge")
         tiles = (
-            self._data[: gy * th, : gx * tw]
+            data
             .reshape(gy, th, gx, tw)
             .swapaxes(1, 2)
             .reshape(gy * gx, th, tw)
@@ -201,7 +210,7 @@ class Image:
 
         u, s, v = run(tiles_dev, omegas)
         self.tile_factors = TileFactors(
-            np.asarray(u), np.asarray(s), np.asarray(v), (gy, gx)
+            np.asarray(u), np.asarray(s), np.asarray(v), (gy, gx), (m, n)
         )
         self.U = self.S = self.V = None
         return self
@@ -214,9 +223,12 @@ class Image:
             gy, gx = tf.grid
             tiles = np.einsum("bik,bk,bjk->bij", tf.u, tf.s, tf.v)
             th, tw = tiles.shape[1:]
-            return (
+            full = (
                 tiles.reshape(gy, gx, th, tw).swapaxes(1, 2).reshape(gy * th, gx * tw)
             )
+            if tf.shape is not None:  # crop any edge-replication padding
+                full = full[: tf.shape[0], : tf.shape[1]]
+            return full
         if self.U is None:
             raise RuntimeError("compress() first")
         if self.U.ndim == 3:  # color: (3, m, k) x (3, k) x (3, n, k)
@@ -257,13 +269,24 @@ class Image:
     #    image_com.cpp:66-181) -------------------------------------------
     def save_compressed(self, path: str, mode: str = "affine") -> None:
         """1-byte/entry factor file.  ``affine`` = reversible uint8
-        quantization; ``truncate`` = reference-exact byte semantics."""
+        quantization; ``truncate`` = reference-exact byte semantics.
+
+        Layout (v2): magic 'RSV2', mode u8, tiled u8, count i32,
+        [if tiled: gy gx m n as i64 — exact, NOT quantized], then per
+        tensor: ndim i32, dims i64[ndim], scale f64, offset f64,
+        payload u8[prod(dims)]."""
         factors = self._gather_factors()
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
         lib = get_native_lib()
+        tiled = self.tile_factors is not None
         with open(path, "wb") as f:
             f.write(_MAGIC)
-            f.write(struct.pack("<Bi", 0 if mode == "affine" else 1, len(factors)))
+            f.write(struct.pack("<BBi", 0 if mode == "affine" else 1,
+                                1 if tiled else 0, len(factors)))
+            if tiled:
+                tf = self.tile_factors
+                shape = tf.shape if tf.shape is not None else (-1, -1)
+                f.write(struct.pack("<4q", *tf.grid, *shape))
             for arr in factors:
                 arr64 = np.ascontiguousarray(arr, dtype=np.float64)
                 f.write(struct.pack("<i", arr64.ndim))
@@ -286,8 +309,11 @@ class Image:
         lib = get_native_lib()
         with open(path, "rb") as f:
             if f.read(4) != _MAGIC:
-                raise ValueError(f"{path}: not an RSV1 factor file")
-            mode, count = struct.unpack("<Bi", f.read(5))
+                raise ValueError(f"{path}: not an {_MAGIC.decode()} factor file")
+            mode, tiled, count = struct.unpack("<BBi", f.read(6))
+            tile_header = None
+            if tiled:
+                tile_header = struct.unpack("<4q", f.read(32))
             factors = []
             for _ in range(count):
                 (ndim,) = struct.unpack("<i", f.read(4))
@@ -304,22 +330,24 @@ class Image:
                 else:
                     arr = q8.astype(np.float64)
                 factors.append(arr)
-        self._scatter_factors(factors)
+        self._scatter_factors(factors, tile_header)
         return self
 
     def _gather_factors(self) -> List[np.ndarray]:
         if self.tile_factors is not None:
             tf = self.tile_factors
-            return [np.asarray([tf.grid], dtype=np.float64), tf.u, tf.s, tf.v]
+            return [tf.u, tf.s, tf.v]
         if self.U is None:
             raise RuntimeError("compress() first")
         return [self.U, self.S, self.V]
 
-    def _scatter_factors(self, factors: List[np.ndarray]) -> None:
-        if len(factors) == 4:
-            grid = tuple(int(x) for x in factors[0].ravel())
+    def _scatter_factors(self, factors: List[np.ndarray],
+                         tile_header=None) -> None:
+        if tile_header is not None:
+            gy, gx, m, n = tile_header
+            shape = (m, n) if m >= 0 else None
             self.tile_factors = TileFactors(
-                factors[1], factors[2], factors[3], grid
+                factors[0], factors[1], factors[2], (gy, gx), shape
             )
             self.U = self.S = self.V = None
         else:

@@ -94,6 +94,22 @@ def test_codec_roundtrip_affine(rng, tmp_path):
     assert os.path.getsize(path) < (64 * l + l + 64 * l) + 200
 
 
+def test_ragged_tile_grid(rng, tmp_path):
+    """Non-dividing grids pad with edge replication and crop back
+    (the reference aborted on non-square process counts)."""
+    a = _lowrank(rng, 61, 45, 4)  # 3x2 grid doesn't divide either dim
+    im = Image(a).compress_tiled(k=6, grid=(3, 2))
+    rec = im.reconstruct()
+    assert rec.shape == (61, 45)
+    assert np.linalg.norm(rec - a) < 5e-2 * np.linalg.norm(a)
+    # codec roundtrip preserves the original shape exactly
+    path = str(tmp_path / "r.rsv")
+    im.save_compressed(path)
+    im2 = Image(a).load_compressed(path)
+    assert im2.tile_factors.shape == (61, 45)
+    assert im2.reconstruct().shape == (61, 45)
+
+
 def test_codec_truncate_mode(rng, tmp_path):
     """Reference-exact byte semantics (int(x) & 0xFF,
     image_com.cpp:94-118): lossy for fractional/negative values by
