@@ -1,0 +1,95 @@
+"""Property-based contracts (hypothesis): randomized shapes/spectra probe
+the factorization invariants beyond the fixed-example tests.  Example
+counts are kept small — every distinct shape costs a jit trace."""
+
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.incremental import svd_append_columns
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.jacobi import (
+    jacobi_svd,
+    round_robin_schedule,
+)
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import svd
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd import reconstruction_error, rsvd
+
+COMMON = dict(deadline=None, max_examples=8, print_blob=True)
+
+
+@given(n=st.integers(2, 40))
+@settings(deadline=None, max_examples=20)
+def test_round_robin_covers_every_pair_once(n):
+    sched = round_robin_schedule(n)
+    seen = set()
+    for rnd in sched:
+        cols = set()
+        for p, q in rnd:
+            if p == n:
+                continue
+            assert p not in cols and q not in cols
+            cols.update((p, q))
+            seen.add((min(p, q), max(p, q)))
+    assert len(seen) == n * (n - 1) // 2
+
+
+@given(m=st.integers(2, 40), n=st.integers(2, 40), seed=st.integers(0, 2**16))
+@settings(**COMMON)
+def test_jacobi_svd_contract(m, n, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((m, n))
+    u, s, v = jacobi_svd(jnp.asarray(a))
+    k = min(m, n)
+    s_np = np.linalg.svd(a, compute_uv=False)
+    scale = max(s_np[0], 1.0)
+    np.testing.assert_allclose(np.asarray(s), s_np, atol=1e-9 * scale)
+    recon = np.asarray((u * s[None, :]) @ v.T)
+    assert np.linalg.norm(recon - a) < 1e-9 * scale
+    assert np.all(np.diff(np.asarray(s)) <= 1e-12 * scale)  # sorted
+
+
+@given(m=st.integers(3, 60), n=st.integers(1, 12), seed=st.integers(0, 2**16),
+       rank_def=st.booleans())
+@settings(**COMMON)
+def test_robust_qr_contract(m, n, seed, rank_def):
+    if n > m:
+        m, n = n, m
+    rng = np.random.default_rng(seed)
+    if rank_def and n >= 2:
+        a = np.outer(rng.standard_normal(m), rng.standard_normal(n))
+    else:
+        a = rng.standard_normal((m, n))
+    q, r = qr_reduced(jnp.asarray(a), "robust")
+    np.testing.assert_allclose(np.asarray(q @ r), a,
+                               atol=1e-8 * max(1.0, np.abs(a).max()))
+    if not rank_def:
+        ortho = np.asarray(q.T @ q) - np.eye(n)
+        assert np.linalg.norm(ortho) < 1e-8
+
+
+@given(seed=st.integers(0, 2**16), r=st.integers(1, 6),
+       k_extra=st.integers(0, 6))
+@settings(**COMMON)
+def test_rsvd_near_optimal(seed, r, k_extra):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((50, 5 + r)) @ rng.standard_normal((5 + r, 40))
+    k = min(r + k_extra, 11)
+    u, s, v = rsvd(jnp.asarray(a), k=k, p=8, q=2)
+    err = float(reconstruction_error(a, u, s, v))
+    s_np = np.linalg.svd(a, compute_uv=False)
+    opt = float(np.sqrt((s_np[k:] ** 2).sum()))
+    assert err <= opt * 1.02 + 1e-8 * s_np[0]
+
+
+@given(seed=st.integers(0, 2**16), n1=st.integers(3, 12), n2=st.integers(1, 8))
+@settings(**COMMON)
+def test_incremental_append_equals_batch(seed, n1, n2):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((20, n1))
+    c = rng.standard_normal((20, n2))
+    u, s, v = svd(jnp.asarray(a), "eigh")
+    u2, s2, v2 = svd_append_columns(u, s, v, jnp.asarray(c))
+    s_np = np.linalg.svd(np.concatenate([a, c], axis=1), compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s2), s_np, rtol=1e-6,
+                               atol=1e-8 * max(s_np[0], 1.0))
