@@ -63,7 +63,12 @@ def main():
                "numpy_matmat_ms": round(numpy_mm, 3)}
         for d in sorted({1, max(1, n_dev // 2), n_dev}):
             mesh = make_mesh(devices=jax.devices()[:d])
-            a = shard_rows(jnp.asarray(a_np), mesh)
+            from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import (
+                pad_rows_for_mesh,
+            )
+
+            a_pad, _ = pad_rows_for_mesh(jnp.asarray(a_np), mesh)
+            a = shard_rows(a_pad, mesh)
             b = jnp.asarray(a_np)
             x = jnp.asarray(x_np)
             mv = _best(lambda: jax.jit(ops.matvec)(a, x))
