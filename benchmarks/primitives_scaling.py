@@ -42,7 +42,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import make_mesh, shard_rows
+    from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import (
+        make_mesh,
+        pad_rows_for_mesh,
+        shard_rows,
+    )
     from rsvd_kamaneh_raganato_terrana_tpu.ops import primitives as ops
 
     sizes = [int(s) for s in args.sizes.split(",")]
@@ -63,10 +67,6 @@ def main():
                "numpy_matmat_ms": round(numpy_mm, 3)}
         for d in sorted({1, max(1, n_dev // 2), n_dev}):
             mesh = make_mesh(devices=jax.devices()[:d])
-            from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import (
-                pad_rows_for_mesh,
-            )
-
             a_pad, _ = pad_rows_for_mesh(jnp.asarray(a_np), mesh)
             a = shard_rows(a_pad, mesh)
             b = jnp.asarray(a_np)

@@ -308,7 +308,14 @@ class Image:
     def load_compressed(self, path: str) -> "Image":
         lib = get_native_lib()
         with open(path, "rb") as f:
-            if f.read(4) != _MAGIC:
+            magic = f.read(4)
+            if magic == b"RSV1":
+                raise ValueError(
+                    f"{path}: legacy RSV1 factor file (tile metadata was "
+                    "quantized and unreliable); re-save with the current "
+                    "version"
+                )
+            if magic != _MAGIC:
                 raise ValueError(f"{path}: not an {_MAGIC.decode()} factor file")
             mode, tiled, count = struct.unpack("<BBi", f.read(6))
             tile_header = None

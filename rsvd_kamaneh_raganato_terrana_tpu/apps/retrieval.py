@@ -86,16 +86,21 @@ def quantize_tables(tables: EmbeddingTables) -> QuantizedTables:
 
 
 def score_quantized(qt: QuantizedTables, user_ids) -> jax.Array:
-    """Score rows from int8 tables: int32 MXU dot + per-row rescale."""
-    uq = qt.users_q[user_ids]
+    """Score rows from int8 tables: int32 MXU dot + per-row rescale.
+    Accepts scalar or batched ids, like `score`."""
+    scalar = jnp.ndim(user_ids) == 0
+    ids = jnp.atleast_1d(jnp.asarray(user_ids))
+    uq = qt.users_q[ids]
+    # contract dim 1 of both operands: no transposed copy of the item table
     raw = jax.lax.dot_general(
-        uq, qt.items_q.T,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        uq, qt.items_q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return (raw.astype(jnp.float32)
-            * qt.users_scale[user_ids][:, None]
-            * qt.items_scale[None, :])
+    out = (raw.astype(jnp.float32)
+           * qt.users_scale[ids][:, None]
+           * qt.items_scale[None, :])
+    return out[0] if scalar else out
 
 
 def top_k_items_quantized(qt: QuantizedTables, user_ids, k: int):

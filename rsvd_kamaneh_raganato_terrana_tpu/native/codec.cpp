@@ -8,10 +8,12 @@
 // range and reversible.  A "truncate" mode reproduces the reference's exact
 // byte semantics for parity testing.
 //
-// File layout (little-endian):
-//   magic  "RSV1"                 (4 bytes)
+// File layout (little-endian, written by apps/image.py):
+//   magic  "RSV2"                 (4 bytes)
 //   mode   uint8  (0=affine, 1=truncate)
+//   tiled  uint8  (1 = tile-compressed)
 //   k      int32  number of tensors
+//   [if tiled: gy gx m n as int64 — exact tile grid + original shape]
 //   per tensor: ndim int32, dims int64[ndim], scale f64, offset f64,
 //               payload uint8[prod(dims)]
 

@@ -58,6 +58,7 @@ def test_orbax_roundtrip(tmp_path, rng):
     u2, s2, v2, meta = load_factors_orbax(path)
     np.testing.assert_array_equal(np.asarray(u), np.asarray(u2))
     np.testing.assert_array_equal(np.asarray(s), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
     assert meta == {"k": 4}
 
 

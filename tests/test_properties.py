@@ -40,7 +40,6 @@ def test_jacobi_svd_contract(m, n, seed):
     rng = np.random.default_rng(seed)
     a = rng.standard_normal((m, n))
     u, s, v = jacobi_svd(jnp.asarray(a))
-    k = min(m, n)
     s_np = np.linalg.svd(a, compute_uv=False)
     scale = max(s_np[0], 1.0)
     np.testing.assert_allclose(np.asarray(s), s_np, atol=1e-9 * scale)
