@@ -64,6 +64,12 @@ class PCA:
         else:
             self._std = None
         self._centered = xc
+        # Total variance of the centered/standardized matrix.  The ratio
+        # accessors normalize by this rather than by sum(s^2) so that the
+        # truncated use_rsvd/rank fast path reports honest proportions
+        # (the reference always computes the full spectrum, so for it the
+        # two denominators coincide — PCA_class.hpp:81-84).
+        self._total_sq = jnp.sum(jnp.square(xc))
         if self._use_rsvd:
             k = self._rank if self._rank > 0 else min(xc.shape)
             self._u, self._s, self._v = rsvd(
@@ -95,7 +101,7 @@ class PCA:
 
     def explained_variance_ratio(self):
         var = jnp.square(self._s)
-        return var / jnp.sum(var)
+        return var / self._total_sq
 
     def scores(self):
         """Projections U diag(S) (reference scores, PCA_class.hpp:86-88)."""

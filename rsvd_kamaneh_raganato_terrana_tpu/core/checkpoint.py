@@ -19,8 +19,15 @@ import numpy as np
 from rsvd_kamaneh_raganato_terrana_tpu.core.io import write_matrix_market
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' when missing; normalize in both save and
+    load so save_factors('foo') / load_factors('foo') round-trip."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_factors(path: str, U, S, V, meta: Optional[Dict] = None) -> None:
     """Save an SVD factor triple to ``path`` (.npz)."""
+    path = _npz_path(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(
         path,
@@ -32,7 +39,7 @@ def save_factors(path: str, U, S, V, meta: Optional[Dict] = None) -> None:
 
 
 def load_factors(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict]:
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(_npz_path(path), allow_pickle=False) as z:
         return z["U"], z["S"], z["V"], json.loads(str(z["meta"]))
 
 

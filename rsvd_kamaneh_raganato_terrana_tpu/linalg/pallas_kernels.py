@@ -40,6 +40,10 @@ def _is_tpu() -> bool:
 TWO_PI = 2.0 * math.pi
 
 
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
 def _mix(h):
     """murmur3 finalizer — a counter-based uint32 mixer.  Stateless and
     keyed purely on global indices, so the draw is bit-identical on every
@@ -105,15 +109,17 @@ def fused_sketch_matmul(a, l: int, seed: int = 0, block_m: int = 512,
     if interpret is None:
         interpret = not _is_tpu()
     l_pad = max(128, ((l + 127) // 128) * 128)
-    block_m = min(block_m, m)
-    block_k = min(block_k, n)
-    # shrink blocks to divide evenly (pad would also work; inputs here are
-    # typically powers of two)
-    while m % block_m:
-        block_m //= 2
-    while n % block_k:
-        block_k //= 2
-    grid = (m // block_m, n // block_k)
+    # Zero-pad A up to block multiples (a zero row/column of A contributes
+    # nothing to Y for any omega, so padding is exact); shrinking blocks to
+    # divide instead would collapse to 1-wide blocks for dims with a large
+    # prime factor and explode the grid.
+    block_m = min(block_m, _round_up(m, 8))
+    block_k = min(block_k, _round_up(n, 128))
+    m_pad = _round_up(m, block_m)
+    n_pad = _round_up(n, block_k)
+    if (m_pad, n_pad) != (m, n):
+        a = jnp.pad(a, ((0, m_pad - m), (0, n_pad - n)))
+    grid = (m_pad // block_m, n_pad // block_k)
 
     kernel = functools.partial(_sketch_kernel, block_k=block_k, l_pad=l_pad)
     y = pl.pallas_call(
@@ -132,10 +138,10 @@ def fused_sketch_matmul(a, l: int, seed: int = 0, block_m: int = 512,
             out_specs=pl.BlockSpec((block_m, l_pad),
                                    lambda i, k, seed_ref: (i, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((m, l_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, l_pad), jnp.float32),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), a.astype(jnp.float32))
-    return y[:, :l]
+    return y[:m, :l]
 
 
 def _quantize_kernel(x_ref, lo_ref, scale_ref, q_ref):
@@ -147,24 +153,37 @@ def _quantize_kernel(x_ref, lo_ref, scale_ref, q_ref):
 
 def quantize_uint8(x, interpret: bool | None = None):
     """Device-side affine uint8 quantization (codec twin): returns
-    (q, scale, offset)."""
+    (q, scale, offset).
+
+    The array is flattened, padded, and reshaped to (rows, 1024) lanes,
+    then quantized with a row-tiled grid so each program touches one
+    VMEM-sized block — a whole-array single block would exceed VMEM for
+    large factor matrices on real TPU.
+    """
     if interpret is None:
         interpret = not _is_tpu()
     x = x.astype(jnp.float32)
     lo = jnp.min(x)
     hi = jnp.max(x)
     scale = jnp.maximum((hi - lo) / 255.0, jnp.finfo(jnp.float32).tiny)
+
+    shape = x.shape
+    total = int(np.prod(shape)) if shape else 1
+    cols = 1024
+    block_r = 256  # 256 x 1024 f32 = 1 MB per block
+    rows = _round_up(max(1, -(-total // cols)), block_r)
+    flat = jnp.pad(jnp.ravel(x), (0, rows * cols - total))
+    tiled = flat.reshape(rows, cols)
     q = pl.pallas_call(
         _quantize_kernel,
+        grid=(rows // block_r,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((block_r, cols), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint8),
+        out_specs=pl.BlockSpec((block_r, cols), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.uint8),
         interpret=interpret,
-    )(x, lo[None], scale[None])
-    return q, scale, lo
+    )(tiled, lo[None], scale[None])
+    return jnp.ravel(q)[:total].reshape(shape), scale, lo

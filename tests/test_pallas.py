@@ -64,6 +64,30 @@ def test_fused_sketch_in_rsvd_pipeline(rng):
     assert rel < 1e-4
 
 
+def test_fused_sketch_ragged_dims(rng):
+    """Dims with large odd prime factors pad up to block multiples instead
+    of collapsing to 1-wide blocks (ADVICE round 1); padding must be exact
+    and must not perturb the draw for in-range rows."""
+    n, l = 257, 8  # 257 is prime
+    a = rng.standard_normal((300, n)).astype(np.float32)  # 300 = 4*3*25
+    eye = jnp.eye(n, dtype=jnp.float32)
+    kw = dict(l=l, seed=3, block_m=128, block_k=128, interpret=True)
+    omega = np.asarray(fused_sketch_matmul(eye, **kw))
+    y = np.asarray(fused_sketch_matmul(jnp.asarray(a), **kw))
+    assert y.shape == (300, l)
+    np.testing.assert_allclose(y, a @ omega, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_uint8_ragged(rng):
+    """Odd sizes and 1-D inputs go through the tiled path unchanged."""
+    for shape in ((37, 53), (1000,), (3, 5, 7)):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32)) * 3.0
+        q, scale, lo = quantize_uint8(x, interpret=True)
+        assert q.shape == x.shape
+        back = np.asarray(q, dtype=np.float64) * float(scale) + float(lo)
+        assert np.abs(back - np.asarray(x)).max() <= float(scale) * 0.51 + 1e-6
+
+
 def test_quantize_uint8(rng):
     x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32)) * 5.0
     q, scale, lo = quantize_uint8(x, interpret=True)
