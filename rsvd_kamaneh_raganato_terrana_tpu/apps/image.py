@@ -340,6 +340,56 @@ class Image:
         self._scatter_factors(factors, tile_header)
         return self
 
+    # -- reference binary interop ---------------------------------------
+    def save_compressed_reference(self, path: str) -> None:
+        """Write the reference's exact binary factor layout
+        (image_compression/src/image_com.cpp:66-123): five native int32s
+        ``rows_U cols_U size_S rows_V cols_V`` followed by row-major
+        1-byte entries ``(int)value & 0xFF`` for U, S, V.
+
+        Faithful including the quirk that truncation wrecks factors whose
+        entries are not integers in [0, 255] (e.g. orthonormal columns) —
+        see docs/PARITY.md; use save_compressed() for a reversible codec.
+        """
+        if self.tile_factors is not None:
+            raise ValueError("reference .dat layout holds a single 2-D "
+                             "factor triple; tiled factors need "
+                             "save_compressed()")
+        u, s, v = self._gather_factors()
+        if u.ndim != 2:
+            raise ValueError("reference .dat layout is grayscale-only")
+        header = np.array(
+            [u.shape[0], u.shape[1], s.size, v.shape[0], v.shape[1]],
+            dtype="<i4",
+        )
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
+                    exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(header.tobytes())
+            for arr in (u, s, v):
+                f.write(_truncate_byte(arr).tobytes())
+
+    def load_compressed_reference(self, path: str) -> "Image":
+        """Read a reference-layout ``.dat`` factor file
+        (image_compression/src/image_com.cpp:131-181): each byte becomes
+        ``double(unsigned char)``."""
+        with open(path, "rb") as f:
+            header = np.frombuffer(f.read(20), dtype="<i4")
+            if header.size != 5 or np.any(header < 0):
+                raise ValueError(f"{path}: not a reference factor file")
+            rows_u, cols_u, size_s, rows_v, cols_v = (int(x) for x in header)
+            total = rows_u * cols_u + size_s + rows_v * cols_v
+            payload = np.frombuffer(f.read(total), dtype=np.uint8)
+            if payload.size != total:
+                raise ValueError(f"{path}: truncated reference factor file")
+        u_end = rows_u * cols_u
+        s_end = u_end + size_s
+        self.U = payload[:u_end].astype(np.float64).reshape(rows_u, cols_u)
+        self.S = payload[u_end:s_end].astype(np.float64)
+        self.V = payload[s_end:].astype(np.float64).reshape(rows_v, cols_v)
+        self.tile_factors = None
+        return self
+
     def _gather_factors(self) -> List[np.ndarray]:
         if self.tile_factors is not None:
             tf = self.tile_factors
@@ -360,6 +410,13 @@ class Image:
         else:
             self.U, self.S, self.V = factors
             self.tile_factors = None
+
+
+def _truncate_byte(x: np.ndarray) -> np.ndarray:
+    """The reference's byte mapping ``(char)(static_cast<int>(x) & 0xFF)``
+    (image_com.cpp:97-99): truncate toward zero, keep the low byte."""
+    return (np.ascontiguousarray(x, dtype=np.float64)
+            .astype(np.int64) & 0xFF).astype(np.uint8)
 
 
 def _quantize_affine_np(x: np.ndarray):

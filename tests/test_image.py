@@ -191,3 +191,54 @@ def test_end_to_end_reference_workflow(tmp_path):
     im.save(png)
     assert os.path.exists(png)
     assert im.shape == (256, 256)
+
+
+def test_reference_dat_byte_parity(tmp_path):
+    """Byte-exact parity with the reference binary layout: an independent
+    scalar transcription of the C++ writer loop (image_com.cpp:66-123)
+    must produce the same file our writer does, and our reader must apply
+    the unsigned-char -> double read semantics (:131-181)."""
+    import struct
+
+    rng = np.random.default_rng(7)
+    u = rng.uniform(-300, 300, (5, 3))
+    s = np.array([250.7, 13.2, 0.4])
+    v = rng.uniform(-300, 300, (4, 3))
+
+    im = Image(np.zeros((5, 4)))
+    im.U, im.S, im.V = u, s, v
+    p = str(tmp_path / "ref.dat")
+    im.save_compressed_reference(p)
+
+    # independent writer: the C++ loop, scalar for scalar
+    expected = bytearray()
+    expected += struct.pack("<5i", 5, 3, 3, 4, 3)
+    for arr in (u, s, v):
+        for val in np.atleast_2d(arr).reshape(-1):
+            expected += struct.pack("B", int(val) & 0xFF)
+    with open(p, "rb") as f:
+        assert f.read() == bytes(expected)
+
+    # reader: every byte comes back as double(unsigned char)
+    back = Image(np.zeros((5, 4))).load_compressed_reference(p)
+    np.testing.assert_array_equal(
+        back.U, (u.astype(np.int64) & 0xFF).astype(np.float64))
+    np.testing.assert_array_equal(
+        back.S, (s.astype(np.int64) & 0xFF).astype(np.float64))
+    np.testing.assert_array_equal(
+        back.V, (v.astype(np.int64) & 0xFF).astype(np.float64))
+
+
+def test_reference_dat_pixel_range_roundtrip(img256, tmp_path):
+    """For factors whose entries are already integers in [0, 255] (the
+    regime the reference format survives), the round trip is exact."""
+    im = Image(img256.data.copy())
+    im.U = np.floor(np.clip(im.data[:, :16], 0, 255))
+    im.S = np.arange(16, dtype=np.float64)
+    im.V = np.floor(np.clip(im.data[:16, :].T, 0, 255))
+    p = str(tmp_path / "px.dat")
+    im.save_compressed_reference(p)
+    back = Image(np.zeros_like(img256.data)).load_compressed_reference(p)
+    np.testing.assert_array_equal(back.U, im.U)
+    np.testing.assert_array_equal(back.S, im.S)
+    np.testing.assert_array_equal(back.V, im.V)
