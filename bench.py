@@ -28,7 +28,13 @@ M = int(os.environ.get("BENCH_M", 4096))
 N = int(os.environ.get("BENCH_N", 4096))
 K = int(os.environ.get("BENCH_K", 64))
 P, Q = 16, 2
-PRECISION = os.environ.get("BENCH_PRECISION", "highest")
+# 'high' = 3-pass bf16 stage-A GEMMs: measured reconstruction error is
+# identical to 'highest' (f32 parity) to 6 digits at this shape — the
+# rank-truncation error dominates GEMM rounding by orders of magnitude
+# (bench_results/phase_profile_4096x4096_k64.csv) — at ~1.7x the
+# throughput.  The err_ratio_vs_numpy field printed below verifies parity
+# on every run; BENCH_PRECISION=highest restores the 6-pass mode.
+PRECISION = os.environ.get("BENCH_PRECISION", "high")
 # 'eigh' is the TPU-native Gram-eigendecomposition tail: identical
 # reconstruction error to the jacobi tail (verified in-bench), one third
 # of the pipeline latency.  The reference-parity engines remain available
@@ -39,6 +45,9 @@ METHOD = os.environ.get("BENCH_METHOD", "eigh")
 # on benchmark spectra; the robust QR falls back to Householder if the
 # squared condition number ever degrades the Gram factorization.
 REORTH = os.environ.get("BENCH_REORTH", "half")
+# single-pass CholeskyQR for interior power-round orthonormalizations
+# (the final pre-projection QR stays CholeskyQR2) — see linalg/qr.py.
+INTERIOR = os.environ.get("BENCH_INTERIOR_QR", "robust1")
 DTYPE = "float32"
 
 
@@ -89,7 +98,8 @@ def main():
     def run(x):
         omega = generate_omega(0, N, l, x.dtype)
         return rsvd_with_omega(x, omega, q=Q, k=K, method=METHOD,
-                               precision=PRECISION, reorth=REORTH)
+                               precision=PRECISION, reorth=REORTH,
+                               interior_qr=INTERIOR)
 
     log("compiling + first run")
     t0 = time.perf_counter()
@@ -143,6 +153,7 @@ def main():
         "vs_baseline": round(cpu_s / best, 2),
         "gflops": round(gflops, 1),
         "err_ratio_vs_numpy": round(ours / theirs, 4),
+        "precision": PRECISION,
         "device": str(jax.devices()[0]),
         "baseline_cpu_ms": round(cpu_s * 1e3, 1),
     }))

@@ -1,0 +1,155 @@
+"""Phase-level latency breakdown of the in-core rSVD pipeline on TPU.
+
+Answers ROADMAP's "where does the 4096^2 k=64 millisecond go": times the
+full pipeline under each knob combination plus the isolated phases
+(orthonormalization chain, eigh tail, stage-A GEMMs), all via the
+dispatch-chain-delta method (see bench.py — single dispatches through the
+relay measure only round-trip latency).
+
+Writes bench_results/phase_profile.csv and prints a table to stderr.
+
+Usage:  python benchmarks/phase_profile.py  [M N K]
+"""
+
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+M = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+P, Q = 16, 2
+
+
+def log(msg):
+    print(f"[phase] {msg}", file=sys.stderr, flush=True)
+
+
+def chain_time(fn, args, n_small=4, n_large=20, reps=3):
+    """Per-dispatch seconds from the slope between two chain lengths."""
+    import jax
+
+    def chain(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    chain(2)  # warm dispatch path
+    t_small = min(chain(n_small) for _ in range(reps))
+    t_large = min(chain(n_large) for _ in range(reps))
+    return max((t_large - t_small) / (n_large - n_small), 1e-9)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rsvd_kamaneh_raganato_terrana_tpu.core.profiling import rsvd_flops
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import _gram_eigh_svd
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+        generate_omega,
+        rsvd_with_omega,
+        subspace_iteration,
+    )
+
+    log(f"devices: {jax.devices()}  shape {M}x{N} k={K} p={P} q={Q}")
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((M, N)).astype(np.float32))
+    l = K + P
+    omega = generate_omega(0, N, l, jnp.float32)
+    y_tall = jnp.asarray(rng.standard_normal((M, l)).astype(np.float32))
+    b_wide = jnp.asarray(rng.standard_normal((l, N)).astype(np.float32))
+    a_np = np.asarray(a)
+
+    rows = []
+
+    def bench(name, fn, args, flops=None, check=None):
+        t = chain_time(fn, args)
+        gf = (flops / t / 1e9) if flops else float("nan")
+        err = ""
+        if check is not None:
+            err = f"{check(fn(*args)):.4f}"
+        rows.append({"phase": name, "ms": round(t * 1e3, 4),
+                     "gflops": round(gf, 1) if flops else "",
+                     "recon_err": err})
+        log(f"{name:<44} {t * 1e3:8.3f} ms  "
+            f"{gf:10.1f} GFLOP/s  {err}")
+        return t
+
+    def recon_check(out):
+        u, s, v = out
+        rec = (np.asarray(u)[:, :K] * np.asarray(s)[:K][None, :]) @ \
+            np.asarray(v)[:, :K].T
+        return float(np.linalg.norm(a_np - rec))
+
+    flops = rsvd_flops(M, N, l, Q)
+
+    # --- full-pipeline variants ---
+    variants = [
+        ("full jacobi highest full-reorth", "jacobi", "highest", "full", None),
+        ("full eigh highest full-reorth", "eigh", "highest", "full", None),
+        ("full eigh highest half", "eigh", "highest", "half", None),
+        ("full eigh highest half robust1", "eigh", "highest", "half",
+         "robust1"),
+        ("full eigh high half robust1", "eigh", "high", "half", "robust1"),
+        ("full eigh default half robust1", "eigh", "default", "half",
+         "robust1"),
+    ]
+    for name, method, prec, reorth, interior in variants:
+        run = jax.jit(lambda x, om, method=method, prec=prec, reorth=reorth,
+                      interior=interior: rsvd_with_omega(
+                          x, om, q=Q, k=K, method=method, precision=prec,
+                          reorth=reorth, interior_qr=interior))
+        run(a, omega)  # compile
+        bench(name, run, (a, omega), flops=flops, check=recon_check)
+
+    # --- isolated phases ---
+    stage_a = jax.jit(lambda x, om: subspace_iteration(
+        x, om, Q, "robust", jax.lax.Precision.HIGHEST, "half"))
+    stage_a(a, omega)
+    bench("stageA only (robust, half)", stage_a, (a, omega))
+
+    stage_a1 = jax.jit(lambda x, om: subspace_iteration(
+        x, om, Q, "robust", jax.lax.Precision.HIGHEST, "half", "robust1"))
+    stage_a1(a, omega)
+    bench("stageA only (robust1 interior)", stage_a1, (a, omega))
+
+    for meth in ("robust", "robust1", "cholqr2", "householder"):
+        f = jax.jit(lambda y, meth=meth: qr_reduced(y, meth))
+        f(y_tall)
+        bench(f"qr {meth} ({M}x{l})", f, (y_tall,))
+
+    eigh_tail = jax.jit(_gram_eigh_svd)
+    eigh_tail(b_wide)
+    bench(f"gram-eigh tail ({l}x{N})", eigh_tail, (b_wide,))
+
+    ee = jax.jit(lambda g: jnp.linalg.eigh(g))
+    g_small = b_wide @ b_wide.T
+    ee(g_small)
+    bench(f"eigh only ({l}x{l})", ee, (g_small,))
+
+    gemm = jax.jit(lambda x, om: jnp.matmul(
+        x, om, precision=jax.lax.Precision.HIGHEST))
+    gemm(a, omega)
+    bench(f"single GEMM {M}x{N}x{l} highest", gemm, (a, omega),
+          flops=2 * M * N * l)
+
+    os.makedirs("bench_results", exist_ok=True)
+    out = f"bench_results/phase_profile_{M}x{N}_k{K}.csv"
+    with open(out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["phase", "ms", "gflops",
+                                          "recon_err"])
+        w.writeheader()
+        w.writerows(rows)
+    log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,13 @@ def _chol_maybe_shifted(g, n_rows: int):
     shift = 11.0 * (n_rows * l + l * (l + 1)) * eps * norm_g
     eye = jnp.eye(l, dtype=g.dtype)
 
-    c_plain = jnp.linalg.cholesky(g)
+    # One batched kernel factors the plain, shifted, and last-resort
+    # (large diagonal regularization — always SPD, keeps downstream finite
+    # for the pure cholqr paths) Grams together: the three l x l problems
+    # run in parallel lanes, costing one kernel latency instead of three
+    # sequential ones on the latency-bound QR chain.
+    stacked = jnp.stack([g, g + shift * eye, g + (norm_g + 1.0) * eye])
+    c_plain, c_shift, c_last = jnp.linalg.cholesky(stacked)
     bad = ~jnp.all(jnp.isfinite(c_plain))
     # Near-singular (not only failing) Grams also degrade CholeskyQR2:
     # accuracy needs cond(A)^2 * eps << 1.  diag(chol) tracks the singular
@@ -57,11 +63,7 @@ def _chol_maybe_shifted(g, n_rows: int):
     diag = jnp.abs(jnp.diagonal(c_plain))
     min_d, max_d = jnp.nanmin(diag), jnp.nanmax(diag)
     tiny_diag = ~(min_d * min_d > 100.0 * eps * max_d * max_d)
-    c_shift = jnp.linalg.cholesky(g + shift * eye)
-    # If even the shifted factorization fails (pathological), fall back to a
-    # large diagonal regularization so downstream stays finite.
     bad2 = ~jnp.all(jnp.isfinite(c_shift))
-    c_last = jnp.linalg.cholesky(g + (norm_g + 1.0) * eye)
     c = jnp.where(bad, jnp.where(bad2, c_last, c_shift), c_plain)
     return c, bad | bad2 | tiny_diag
 
@@ -128,17 +130,26 @@ def qr_reduced(a, method: str = "robust"):
       beyond the numerical rank (Householder completes the basis, the role
       Eigen HouseholderQR played at src/rSVD.cpp:60-69).  The fallback
       branch only executes when taken, so the fast path stays two GEMMs.
+    - ``robust1``: single-pass CholeskyQR with the same degradation
+      fallback.  Orthogonality error is O(eps cond(A)^2) instead of
+      O(eps) — intended for the *interior* orthonormalizations of power
+      iteration, where Q only needs to be a well-conditioned basis of the
+      subspace and the final (pre-projection) QR restores full
+      orthogonality.  Halves the latency-bound small-op chain per round.
     - ``cholqr2`` / ``cholqr3``: pure CholeskyQR (benchmark/HPC path,
       full-rank well-conditioned inputs).
     - ``householder``: XLA's built-in QR.
     """
+
+    def _householder(op):
+        res = jnp.linalg.qr(op, mode="reduced")
+        return res[0], res[1]  # QRResult namedtuple -> plain tuple
+
     if method == "robust":
         q, r, degraded = robust_cholesky_qr2(a)
-
-        def _householder(op):
-            res = jnp.linalg.qr(op, mode="reduced")
-            return res[0], res[1]  # QRResult namedtuple -> plain tuple
-
+        return jax.lax.cond(degraded, _householder, lambda _: (q, r), a)
+    if method == "robust1":
+        q, r, degraded = _cholesky_qr_flagged(a)
         return jax.lax.cond(degraded, _householder, lambda _: (q, r), a)
     if method == "cholqr2":
         return cholesky_qr2(a)

@@ -69,7 +69,8 @@ def _mm(a, b, precision=DOT_PRECISION):
 
 
 def power_refine(a, q_mat, q: int, qr_method: str = "robust",
-                 precision=DOT_PRECISION, reorth: str = "full"):
+                 precision=DOT_PRECISION, reorth: str = "full",
+                 interior_qr: Optional[str] = None):
     """q rounds of power-iteration subspace refinement with
     re-orthonormalization (the loop of reference intermediate_step,
     src/rSVD.cpp:62-69).
@@ -79,34 +80,45 @@ def power_refine(a, q_mat, q: int, qr_method: str = "robust",
     round becomes Y = A A^T Q with one orthonormalization, halving the
     QR-chain latency at the cost of squaring the intermediate condition
     number (the robust QR's Householder fallback still catches
-    degeneracy)."""
-    for _ in range(q):
+    degeneracy).
+
+    ``interior_qr`` (default: same as ``qr_method``) is used for every
+    orthonormalization except the final one before projection — interior
+    bases only need to be well-conditioned, so e.g. ``'robust1'``
+    (single-pass CholeskyQR) halves the latency-bound small-op chain."""
+    inner = qr_method if interior_qr is None else interior_qr
+    for i in range(q):
+        last = i == q - 1
         z = _mm(a.T, q_mat, precision)
         if reorth == "full":
-            z = orthonormal_basis(z, qr_method)
+            z = orthonormal_basis(z, inner)
         y = _mm(a, z, precision)
-        q_mat = orthonormal_basis(y, qr_method)
+        q_mat = orthonormal_basis(y, qr_method if last else inner)
     return q_mat
 
 
 def subspace_iteration(a, omega, q: int, qr_method: str = "robust",
-                       precision=DOT_PRECISION, reorth: str = "full"):
+                       precision=DOT_PRECISION, reorth: str = "full",
+                       interior_qr: Optional[str] = None):
     """Stage A: range finder with q power-iteration refinements
     (reference intermediate_step, src/rSVD.cpp:57-70)."""
     y = _mm(a, omega, precision)
-    q_mat = orthonormal_basis(y, qr_method)
-    return power_refine(a, q_mat, q, qr_method, precision, reorth)
+    inner = qr_method if interior_qr is None or q == 0 else interior_qr
+    q_mat = orthonormal_basis(y, inner)
+    return power_refine(a, q_mat, q, qr_method, precision, reorth,
+                        interior_qr)
 
 
 def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
                     method: str = "jacobi", qr_method: str = "robust",
                     precision: str | jax.lax.Precision = "highest",
-                    reorth: str = "full"):
+                    reorth: str = "full", interior_qr: Optional[str] = None):
     """rSVD given an explicit sketch matrix — the vmappable core (used by
     the tile-parallel image path, where each tile draws an independent
     Omega like the reference's per-rank RNG, image rSVD.cpp:89-101)."""
     prec = _PRECISIONS.get(precision, precision)
-    q_mat = subspace_iteration(a, omega, q, qr_method, prec, reorth)  # m x l
+    q_mat = subspace_iteration(a, omega, q, qr_method, prec, reorth,
+                               interior_qr)  # m x l
     b = _mm(q_mat.T, a, prec)                               # l x n (replicated)
     u_t, s, v = small_svd(b, method)
     u = _mm(q_mat, u_t)
@@ -205,6 +217,10 @@ def rsvd_adaptive(
     from jax.experimental import sparse as jsparse
 
     if isinstance(a, jsparse.JAXSparse):
+        # canonicalize first: duplicate indices are summed into one logical
+        # entry, so summing raw .data squares would overcount ||A||_F^2
+        if hasattr(a, "sum_duplicates"):
+            a = a.sum_duplicates()
         a_norm_sq = float(jnp.sum(jnp.square(a.data)))
     else:
         a_norm_sq = float(jnp.sum(jnp.square(jnp.asarray(a))))

@@ -20,7 +20,8 @@ def _check_qr(a, q, r, tol=1e-10):
     assert np.allclose(np.tril(np.asarray(r), -1), 0.0, atol=tol)
 
 
-@pytest.mark.parametrize("method", ["cholqr2", "cholqr3", "householder"])
+@pytest.mark.parametrize("method", ["cholqr2", "cholqr3", "householder",
+                                    "robust", "robust1"])
 def test_qr_reduced_random(method, rng):
     a = rng.standard_normal((200, 24))
     q, r = qrlib.qr_reduced(jnp.asarray(a), method)
@@ -79,3 +80,32 @@ def test_qr_oracle_comparison(rng):
     diff_q = np.abs(np.abs(np.asarray(q)) - np.abs(qn)).mean()
     diff_r = np.abs(np.abs(np.asarray(r)) - np.abs(rn)).mean()
     assert diff_q < 1e-8 and diff_r < 1e-8
+
+
+def test_robust1_falls_back_on_rank_deficiency(rng):
+    """Single-pass robust QR must detect a rank-deficient input and route
+    to Householder, keeping Q orthonormal (basis completion)."""
+    b = rng.standard_normal((120, 4))
+    a = b @ rng.standard_normal((4, 16))  # rank 4 < 16 columns
+    q, r = qrlib.qr_reduced(jnp.asarray(a), "robust1")
+    ortho = np.asarray(q.T @ q) - np.eye(16)
+    assert np.linalg.norm(ortho) < 1e-8
+    np.testing.assert_allclose(np.asarray(q @ r), a, atol=1e-8)
+
+
+def test_interior_qr_pipeline_accuracy(rng):
+    """interior_qr='robust1' must not change rSVD reconstruction accuracy
+    (interior bases only need conditioning, not full orthogonality)."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+        generate_omega, rsvd_with_omega)
+
+    a = (rng.standard_normal((300, 10)) @
+         rng.standard_normal((10, 250)))
+    a_dev = jnp.asarray(a)
+    omega = generate_omega(0, 250, 18, a_dev.dtype)
+    errs = {}
+    for iq in (None, "robust1"):
+        u, s, v = rsvd_with_omega(a_dev, omega, q=2, k=10, method="eigh",
+                                  interior_qr=iq)
+        errs[iq] = float(jnp.linalg.norm(a_dev - (u * s[None, :]) @ v.T))
+    assert errs["robust1"] <= max(errs[None] * 1.5, 1e-9 * np.linalg.norm(a))
