@@ -1,0 +1,210 @@
+"""North-star streaming benchmark: out-of-core rSVD at up to 100k x 100k.
+
+Two complementary measurements (BASELINE.md north star: >=70% of peak
+matmul FLOP/s in the sketch/power phases at 100k^2 rank-128):
+
+1. REAL host-streamed runs (`--real` sizes): A lives in host RAM and
+   streams through the relay.  Reports wall time, sustained H2D
+   bandwidth, and per-phase seconds.  In this environment the host relay
+   (~0.3-0.8 GB/s measured) — not the MXU — is the bound; a production
+   TPU host (PCIe/DMA tens of GB/s) moves the bound back to compute.
+
+2. SYNTHESIZED-panel runs (`--synth` sizes): the same streamed driver
+   consumes a SynthesizedMatrix whose panels are a device-resident base
+   block (tiled operator).  Per-pass HBM traffic and FLOPs are identical
+   to streaming compute, with the relay removed — this measures the
+   device-side roofline fraction of the sketch/power GEMM phases at the
+   true north-star shape.
+
+Writes/updates bench_results/streaming.csv (one row per run) and prints a
+summary to stderr.
+
+Usage:
+  python benchmarks/streaming_bench.py --synth 100000 --k 128
+  python benchmarks/streaming_bench.py --real 16384,32768 --k 128
+  STREAM_REAL_NS=1 ... --real 100000   # ~10 min through the relay
+"""
+
+import argparse
+import csv
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+# per-precision MXU ceilings for f32 inputs on this chip (TFLOP/s):
+# bf16 peak ~197 (v5e-class); highest = 6-pass bf16, high = 3-pass.
+ROOFLINE_TFLOPS = {"highest": 197.0 / 6, "high": 197.0 / 3, "default": 197.0}
+
+CSV_PATH = "bench_results/streaming.csv"
+FIELDS = [
+    "mode", "m", "n", "k", "l", "q", "precision", "panel_rows",
+    "wall_s", "transfer_gb", "h2d_gbps",
+    "sketch_s", "power_s", "project_s", "qr_s", "tail_s",
+    "gemm_tflops", "roofline_pct", "captured_energy", "sigma0",
+]
+
+
+def log(msg):
+    print(f"[stream-bench] {msg}", file=sys.stderr, flush=True)
+
+
+def gen_host_matrix(m, n, seed=0, threads=4):
+    """iid N(0,1) f32 host matrix, generated in parallel row blocks;
+    returns (A, ||A||_F^2)."""
+    a = np.empty((m, n), dtype=np.float32)
+    norms = [0.0] * threads
+    block = -(-m // threads)
+
+    def fill(t):
+        rng = np.random.default_rng(seed + 1000 * t)
+        lo = t * block
+        hi = min(m, lo + block)
+        for s in range(lo, hi, 1024):
+            e = min(hi, s + 1024)
+            a[s:e] = rng.standard_normal((e - s, n), dtype=np.float32)
+        norms[t] = float((a[lo:hi].astype(np.float64) ** 2).sum())
+
+    ts = [threading.Thread(target=fill, args=(t,)) for t in range(threads)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    return a, sum(norms)
+
+
+def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
+            onepass=False):
+    import jax
+
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
+        rsvd_streaming,
+        rsvd_streaming_onepass,
+    )
+
+    phase = {}
+    t0 = time.perf_counter()
+    if onepass:
+        u, s, v = rsvd_streaming_onepass(
+            a_src, k=k, p=16, method="eigh", panel_rows=panel_rows,
+            precision=precision, phase_times=phase)
+    else:
+        u, s, v = rsvd_streaming(
+            a_src, k=k, p=16, q=q, method="eigh", panel_rows=panel_rows,
+            precision=precision, phase_times=phase)
+    jax.block_until_ready((u, s, v))
+    wall = time.perf_counter() - t0
+    s_host = np.asarray(s, dtype=np.float64)
+
+    l = min(k + 16, min(m, n))
+    passes = 1 if onepass else (2 * q + 2)
+    gb = m * n * 4 * passes / 1e9
+    # sketch/power GEMM FLOPs (the north-star phases). one-pass does
+    # 2 GEMMs (Omega l + Psi s cols) in its single sweep.
+    s_cols = 2 * l + 1
+    gemm_flops = (2.0 * m * n * (l + s_cols) if onepass
+                  else 2.0 * m * n * l * (2 * q + 2))
+    gemm_s = (phase.get("sketch_pass", 0.0) if onepass else
+              phase.get("sketch", 0.0) + phase.get("power_zt", 0.0)
+              + phase.get("power_y", 0.0) + phase.get("project", 0.0))
+    tflops = gemm_flops / max(gemm_s, 1e-9) / 1e12
+    roof = ROOFLINE_TFLOPS.get(precision, float("nan"))
+    captured = float((s_host ** 2).sum() / norm_sq) if norm_sq else float("nan")
+
+    row = {
+        "mode": mode, "m": m, "n": n, "k": k, "l": l,
+        "q": (0 if onepass else q), "precision": precision,
+        "panel_rows": panel_rows,
+        "wall_s": round(wall, 3),
+        "transfer_gb": round(gb, 2) if "real" in mode else 0.0,
+        "h2d_gbps": round(gb / wall, 3) if "real" in mode else "",
+        "sketch_s": round(phase.get("sketch",
+                                    phase.get("sketch_pass", 0.0)), 3),
+        "power_s": round(phase.get("power_zt", 0.0)
+                         + phase.get("power_y", 0.0), 3),
+        "project_s": round(phase.get("project", 0.0), 3),
+        "qr_s": round(phase.get("qr", 0.0), 3),
+        "tail_s": round(phase.get("tail", phase.get("solve_tail", 0.0)), 3),
+        "gemm_tflops": round(tflops, 2),
+        "roofline_pct": round(100.0 * tflops / roof, 1),
+        "captured_energy": round(captured, 6),
+        "sigma0": round(float(s_host[0]), 3),
+    }
+    log(" ".join(f"{k}={v}" for k, v in row.items()))
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--real", default="", help="comma sizes for host-streamed")
+    ap.add_argument("--synth", default="", help="comma sizes for synthesized")
+    ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--q", type=int, default=2)
+    ap.add_argument("--precisions", default="highest,high,default")
+    ap.add_argument("--panel-mb", type=int, default=256)
+    ap.add_argument("--onepass", action="store_true",
+                    help="also run the one-pass variant per config")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
+        SynthesizedMatrix,
+    )
+
+    log(f"devices: {jax.devices()}")
+    rows = []
+    precisions = args.precisions.split(",")
+
+    for size in [int(x) for x in args.synth.split(",") if x]:
+        m = n = size
+        panel_rows = max(1, (args.panel_mb << 20) // (n * 4))
+        base = jax.random.normal(jax.random.PRNGKey(7), (panel_rows, n),
+                                 jnp.float32)
+        base.block_until_ready()
+        # tiled implicit operator: every panel is the same device-resident
+        # base block => per-pass HBM reads identical to true streaming,
+        # zero relay traffic.  rank(A) = panel_rows >> l, spectrum scaled
+        # by sqrt(#tiles); fine for subspace iteration.
+        src = SynthesizedMatrix((m, n), lambda s, r: base[:r])
+        norm_est = float((np.asarray(base[:min(panel_rows, 64)]) ** 2).sum())
+        tiles = -(-m // panel_rows)
+        norm_sq = norm_est / min(panel_rows, 64) * panel_rows * tiles
+        for prec in precisions:
+            rows.append(run_one(f"synth", src, m, n, args.k, args.q, prec,
+                                panel_rows, norm_sq))
+            if args.onepass:
+                rows.append(run_one(f"synth-onepass", src, m, n, args.k,
+                                    args.q, prec, panel_rows, norm_sq,
+                                    onepass=True))
+
+    for size in [int(x) for x in args.real.split(",") if x]:
+        m = n = size
+        panel_rows = max(1, (args.panel_mb << 20) // (n * 4))
+        log(f"generating {m}x{n} host matrix "
+            f"({m * n * 4 / 1e9:.1f} GB) ...")
+        t0 = time.perf_counter()
+        a, norm_sq = gen_host_matrix(m, n)
+        log(f"generated in {time.perf_counter() - t0:.1f}s")
+        for prec in precisions:
+            rows.append(run_one("real", a, m, n, args.k, args.q, prec,
+                                panel_rows, norm_sq))
+            if args.onepass:
+                rows.append(run_one("real-onepass", a, m, n, args.k,
+                                    args.q, prec, panel_rows, norm_sq,
+                                    onepass=True))
+        del a
+
+    os.makedirs("bench_results", exist_ok=True)
+    exists = os.path.exists(CSV_PATH)
+    with open(CSV_PATH, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=FIELDS)
+        if not exists:
+            w.writeheader()
+        w.writerows(rows)
+    log(f"appended {len(rows)} rows to {CSV_PATH}")
+
+
+if __name__ == "__main__":
+    main()

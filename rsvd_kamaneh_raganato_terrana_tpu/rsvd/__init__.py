@@ -11,4 +11,8 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     rsvd_with_omega,
     subspace_iteration,
 )
-from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import rsvd_streaming  # noqa: F401
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (  # noqa: F401
+    SynthesizedMatrix,
+    rsvd_streaming,
+    rsvd_streaming_onepass,
+)

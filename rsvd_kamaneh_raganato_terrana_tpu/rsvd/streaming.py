@@ -3,7 +3,9 @@
 For matrices too large for device HBM (the 100k x 100k rank-128 north-star:
 40 GB in f32 vs ~16 GB HBM/chip), A stays in host memory (ndarray or
 np.memmap) and streams through the device in row panels.  Every FLOP still
-lands on the MXU; the host never does more than slicing.
+lands on the MXU; the host never does more than slicing.  Panel host->device
+copies are double-buffered on a background thread so the transfer of panel
+i+1 overlaps the GEMM on panel i.
 
 Pass structure per power iteration (A is m x n, panels of ``panel_rows``):
 
@@ -15,11 +17,16 @@ Pass structure per power iteration (A is m x n, panels of ``panel_rows``):
 Orthonormalizations (CholeskyQR2 on m x l panels' Gram accumulation) and
 the l x n tail SVD run on-device on small operands.  Total host->device
 traffic: (2q + 2) streamed passes over A — the minimum for the blocked
-Halko scheme without storing A on device.
+Halko scheme without storing A on device.  When the interconnect (not the
+MXU) is the bound, :func:`rsvd_streaming_onepass` factors A in a SINGLE
+streamed pass via a two-sided sketch.
 
-The Q factor of the tall m x l Y is needed for B = Q^T A and U = Q U_t;
-both are computed panel-streamed as well, so no m x l array ever exceeds
-one panel on device except Y/Q themselves (m x l, small for l << n).
+Inputs may also be :class:`SynthesizedMatrix` — an implicit operator whose
+panels are produced by a device-side function.  That is how the north-star
+benchmark measures the streamed *compute* path at 100k x 100k without
+paying this environment's host relay bandwidth (benchmarks/
+streaming_bench.py), and how procedurally-defined operators factorize
+without ever materializing.
 
 No reference counterpart (the reference is in-core Eigen); this is the
 scale-out role described in BASELINE.json.
@@ -28,7 +35,10 @@ scale-out role described in BASELINE.json.
 from __future__ import annotations
 
 
-from typing import Optional, Tuple
+import time
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,43 +49,116 @@ from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import SVDMethod, svd as small_svd
 from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+class SynthesizedMatrix:
+    """An implicit m x n matrix whose row panels are computed on demand.
+
+    ``panel_fn(start, rows)`` must return the dense rows
+    ``[start, start+rows)`` as a host or device array.  Streaming drivers
+    treat it exactly like a host ndarray, minus the host->device copy when
+    the panels are already device-resident."""
+
+    def __init__(self, shape: Tuple[int, int],
+                 panel_fn: Callable[[int, int], jax.Array]):
+        self.shape = tuple(shape)
+        self._panel_fn = panel_fn
+
+    def panel(self, start: int, rows: int):
+        return self._panel_fn(start, rows)
+
 
 def _panels(m: int, panel_rows: int):
     for start in range(0, m, panel_rows):
         yield start, min(panel_rows, m - start)
 
 
-@jax.jit
-def _panel_matmul(a_panel, b):
-    return jnp.matmul(a_panel, b, precision=DOT_PRECISION,
+@partial(jax.jit, static_argnames=("precision",))
+def _panel_matmul(a_panel, b, precision=DOT_PRECISION):
+    return jnp.matmul(a_panel, b, precision=precision,
                       preferred_element_type=a_panel.dtype)
 
 
-@jax.jit
-def _panel_t_matmul_acc(acc, a_panel, q_panel):
-    return acc + jnp.matmul(a_panel.T, q_panel, precision=DOT_PRECISION,
+@partial(jax.jit, static_argnames=("precision",))
+def _panel_t_matmul_acc(acc, a_panel, q_panel, precision=DOT_PRECISION):
+    return acc + jnp.matmul(a_panel.T, q_panel, precision=precision,
                             preferred_element_type=a_panel.dtype)
 
 
-def _stream_right_multiply(a_host, b_dev, panel_rows, dtype) -> jax.Array:
+def _stream_panels(a_src, panel_rows, dtype, prefetch: int = 2):
+    """Yield (start, rows, device_panel), prefetching the next panels'
+    host slice + H2D transfer on a background thread so the copy of panel
+    i+1 overlaps the GEMM on panel i (double buffering).  ``prefetch``
+    bounds device memory at prefetch+1 panels."""
+    m = a_src.shape[0]
+    spans = list(_panels(m, panel_rows))
+
+    if hasattr(a_src, "panel"):
+        def load(span):
+            return jnp.asarray(a_src.panel(span[0], span[1]), dtype)
+    else:
+        def load(span):
+            start, rows = span
+            return jnp.asarray(np.asarray(a_src[start:start + rows]), dtype)
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futures = []
+        idx = 0
+        while futures or idx < len(spans):
+            while idx < len(spans) and len(futures) < prefetch:
+                futures.append((spans[idx], ex.submit(load, spans[idx])))
+                idx += 1
+            (start, rows), fut = futures.pop(0)
+            yield start, rows, fut.result()
+
+
+def _stream_right_multiply(a_src, b_dev, panel_rows, dtype,
+                           precision=DOT_PRECISION) -> jax.Array:
     """Y = A @ B, streaming A by row panels; Y accumulates on device."""
-    m = a_host.shape[0]
     chunks = []
-    for start, rows in _panels(m, panel_rows):
-        panel = jnp.asarray(np.asarray(a_host[start:start + rows]), dtype)
-        chunks.append(_panel_matmul(panel, b_dev))
+    for _, _, panel in _stream_panels(a_src, panel_rows, dtype):
+        chunks.append(_panel_matmul(panel, b_dev, precision=precision))
     return jnp.concatenate(chunks, axis=0)
 
 
-def _stream_left_t_multiply(a_host, q_dev, panel_rows, dtype) -> jax.Array:
+def _stream_left_t_multiply(a_src, q_dev, panel_rows, dtype,
+                            precision=DOT_PRECISION) -> jax.Array:
     """Z = A^T @ Q, streaming A by row panels; Z (n x l) accumulates."""
-    m, n = a_host.shape
+    m, n = a_src.shape
     l = q_dev.shape[1]
     acc = jnp.zeros((n, l), dtype)
-    for start, rows in _panels(m, panel_rows):
-        panel = jnp.asarray(np.asarray(a_host[start:start + rows]), dtype)
-        acc = _panel_t_matmul_acc(acc, panel, q_dev[start:start + rows])
+    for start, rows, panel in _stream_panels(a_src, panel_rows, dtype):
+        acc = _panel_t_matmul_acc(acc, panel, q_dev[start:start + rows],
+                                  precision=precision)
     return acc
+
+
+def _default_panel_rows(m, n, dtype):
+    itemsize = jnp.dtype(dtype).itemsize
+    return max(1, min(m, (256 << 20) // max(1, n * itemsize)))
+
+
+class _PhaseClock:
+    """Optional per-phase wall timing: syncs the device between phases so
+    each bucket is attributable (used by benchmarks/streaming_bench.py)."""
+
+    def __init__(self, sink: Optional[dict]):
+        self._sink = sink
+        self._t = time.perf_counter() if sink is not None else 0.0
+
+    def mark(self, name: str, *arrays):
+        if self._sink is None:
+            return
+        for x in arrays:
+            jax.block_until_ready(x)
+        now = time.perf_counter()
+        self._sink[name] = self._sink.get(name, 0.0) + (now - self._t)
+        self._t = now
 
 
 def rsvd_streaming(
@@ -87,33 +170,123 @@ def rsvd_streaming(
     panel_rows: Optional[int] = None,
     seed: int = 0,
     dtype=jnp.float32,
+    precision: str | jax.lax.Precision = "highest",
+    phase_times: Optional[dict] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Rank-k rSVD of a host-resident matrix streamed through the device.
+    """Rank-k rSVD of a host-resident (or implicit) matrix streamed
+    through the device.
 
-    ``a_host``: ndarray / np.memmap (m x n).  ``panel_rows`` defaults to
-    ~256 MB panels.  Returns (U, s, V) on device (m x k, k, n x k).
+    ``a_host``: ndarray / np.memmap / :class:`SynthesizedMatrix` (m x n).
+    ``panel_rows`` defaults to ~256 MB panels.  ``precision`` sets the MXU
+    pass count of the streamed panel GEMMs (orthonormalizations always run
+    HIGHEST).  Returns (U, s, V) on device (m x k, k, n x k).
     """
     method = SVDMethod.parse(method)
+    prec = _PRECISIONS.get(precision, precision)
     m, n = a_host.shape
     l = min(k + p, min(m, n))
-    itemsize = jnp.dtype(dtype).itemsize
     if panel_rows is None:
-        panel_rows = max(1, min(m, (256 << 20) // max(1, n * itemsize)))
+        panel_rows = _default_panel_rows(m, n, dtype)
 
     key = key_from_seed(seed)
     omega = jax.random.normal(key, (n, l), dtype)
 
+    clock = _PhaseClock(phase_times)
     # stage A: Y = A Omega, Q = qr(Y), q power refinements
-    y = _stream_right_multiply(a_host, omega, panel_rows, dtype)
+    y = _stream_right_multiply(a_host, omega, panel_rows, dtype, prec)
+    clock.mark("sketch", y)
     q_mat, _ = qr_reduced(y, "robust")
+    clock.mark("qr", q_mat)
     for _ in range(q):
-        z = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype)
+        z = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec)
+        clock.mark("power_zt", z)
         z_q, _ = qr_reduced(z, "robust")
-        y = _stream_right_multiply(a_host, z_q, panel_rows, dtype)
+        clock.mark("qr", z_q)
+        y = _stream_right_multiply(a_host, z_q, panel_rows, dtype, prec)
+        clock.mark("power_y", y)
         q_mat, _ = qr_reduced(y, "robust")
+        clock.mark("qr", q_mat)
 
     # stage B: B = Q^T A  (l x n), streamed:  B = (A^T Q)^T
-    b = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype).T
+    b = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec).T
+    clock.mark("project", b)
     u_t, s, v = small_svd(b, method)
     u = jnp.matmul(q_mat, u_t, precision=DOT_PRECISION)
+    clock.mark("tail", u, s, v)
     return u[:, :k], s[:k], v[:, :k]
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _panel_onepass(a_panel, omega, psi_panel, w_acc, precision=DOT_PRECISION):
+    """One fused dispatch per panel: the range contribution Y_p = A_p Omega
+    and the co-range accumulation W += Psi_p^T A_p."""
+    y_p = jnp.matmul(a_panel, omega, precision=precision,
+                     preferred_element_type=a_panel.dtype)
+    w = w_acc + jnp.matmul(psi_panel.T, a_panel, precision=precision,
+                           preferred_element_type=a_panel.dtype)
+    return y_p, w
+
+
+def rsvd_streaming_onepass(
+    a_host,
+    k: int,
+    p: int = 16,
+    s_factor: int = 2,
+    method: SVDMethod | str = "eigh",
+    panel_rows: Optional[int] = None,
+    seed: int = 0,
+    dtype=jnp.float32,
+    precision: str | jax.lax.Precision = "highest",
+    phase_times: Optional[dict] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Rank-k rSVD in a SINGLE streamed pass over A (two-sided sketch).
+
+    The (2q+2)-pass scheme of :func:`rsvd_streaming` is optimal in device
+    FLOPs but pays host->device bandwidth per pass; when A's traffic
+    dominates (slow interconnect, disk-resident A), the streaming-optimal
+    algorithm is the two-sided sketch of Tropp, Yurtsever, Udell &
+    Cevher (SIAM J. Matrix Anal. 2017, "Practical sketching algorithms"):
+
+      one pass:   Y = A Omega   (m x l range sketch)
+                  W = Psi^T A   (s x n co-range sketch, s = s_factor*l+1)
+      then        Q = orth(Y),  X = (Psi^T Q)^+ W,   A ~= Q X,
+                  SVD(X) -> (U_t, sigma, V),  U = Q U_t.
+
+    Accuracy is a constant factor behind one power iteration — the
+    bandwidth-bound trade.  No reference counterpart (the reference is
+    in-core; SURVEY section 6 scaling story stops at MPI mat-mat).
+    """
+    method = SVDMethod.parse(method)
+    prec = _PRECISIONS.get(precision, precision)
+    m, n = a_host.shape
+    l = min(k + p, min(m, n))
+    s = min(s_factor * l + 1, m)
+    if panel_rows is None:
+        panel_rows = _default_panel_rows(m, n, dtype)
+
+    key = key_from_seed(seed)
+    k_om, k_psi = jax.random.split(key)
+    omega = jax.random.normal(k_om, (n, l), dtype)
+    psi = jax.random.normal(k_psi, (m, s), dtype)
+
+    clock = _PhaseClock(phase_times)
+    w = jnp.zeros((s, n), dtype)
+    chunks = []
+    for start, rows, panel in _stream_panels(a_host, panel_rows, dtype):
+        y_p, w = _panel_onepass(panel, omega, psi[start:start + rows], w,
+                                precision=prec)
+        chunks.append(y_p)
+    y = jnp.concatenate(chunks, axis=0)
+    clock.mark("sketch_pass", y, w)
+
+    q_mat, _ = qr_reduced(y, "robust")
+    p_mat = jnp.matmul(psi.T, q_mat, precision=DOT_PRECISION)     # s x l
+    qp, rp = qr_reduced(p_mat, "householder")
+    x = jax.lax.linalg.triangular_solve(
+        rp, jnp.matmul(qp.T, w, precision=DOT_PRECISION),
+        left_side=True, lower=False,
+    )                                                             # l x n
+    u_t, sv, v = small_svd(x, method)
+    u = jnp.matmul(q_mat, u_t, precision=DOT_PRECISION)
+    clock.mark("solve_tail", u, sv, v)
+    return u[:, :k], sv[:k], v[:, :k]

@@ -52,3 +52,42 @@ def test_streaming_shapes(rng):
     u, s, v = rsvd_streaming(a, k=9, p=4, q=0, panel_rows=32,
                              dtype=jnp.float64)
     assert u.shape == (100, 9) and s.shape == (9,) and v.shape == (60, 9)
+
+
+def test_onepass_low_rank_recovery(rng):
+    """One-pass two-sided sketch recovers a low-rank matrix near-exactly."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
+        rsvd_streaming_onepass,
+    )
+
+    a = (rng.standard_normal((200, 150)) @
+         rng.standard_normal((12, 150)).T @
+         rng.standard_normal((12, 150))).astype(np.float64)
+    a = a / np.linalg.norm(a)
+    u, s, v = rsvd_streaming_onepass(a, k=12, p=8, panel_rows=64,
+                                     dtype=jnp.float64)
+    rec = np.asarray((u * s[None, :]) @ v.T)
+    assert np.linalg.norm(a - rec) / np.linalg.norm(a) < 1e-8
+    # factors orthonormal
+    assert np.abs(np.asarray(u.T @ u) - np.eye(12)).max() < 1e-8
+
+
+def test_onepass_matches_full_svd_on_decaying_spectrum(rng):
+    """On a fast-decaying spectrum the one-pass error is within a modest
+    factor of the optimal rank-k error (Tropp et al. guarantee)."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
+        rsvd_streaming_onepass,
+    )
+
+    m = n = 120
+    u0, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    v0, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    sig = 2.0 ** -np.arange(min(m, n), dtype=np.float64)
+    a = (u0 * sig[None, :]) @ v0.T
+    k = 10
+    u, s, v = rsvd_streaming_onepass(a, k=k, p=10, panel_rows=50,
+                                     dtype=jnp.float64)
+    rec = np.asarray((u * s[None, :]) @ v.T)
+    err = np.linalg.norm(a - rec)
+    opt = np.linalg.norm(sig[k:])
+    assert err < 10 * opt
