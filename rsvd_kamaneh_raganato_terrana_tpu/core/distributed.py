@@ -70,15 +70,23 @@ def make_pod_mesh(ici_axis: str = ROWS_AXIS, dcn_axis: str = DCN_AXIS) -> Mesh:
     n_proc = jax.process_count()
     if n_proc <= 1:
         return make_mesh(axis_names=(ici_axis,))
-    from jax.experimental import mesh_utils
-
     per_host = len(jax.devices()) // n_proc
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(per_host,),
-        dcn_mesh_shape=(n_proc,),
-    )
-    return Mesh(np.asarray(devices).reshape(n_proc, per_host),
-                (dcn_axis, ici_axis))
+    try:
+        from jax.experimental import mesh_utils
+
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(per_host,),
+            dcn_mesh_shape=(n_proc,),
+        )
+        dev_arr = np.asarray(devices).reshape(n_proc, per_host)
+    except Exception:
+        # backends without slice metadata (e.g. the multi-process CPU
+        # harness): group devices by owning process, which preserves the
+        # "inner axis stays intra-host" property the hybrid helper gives
+        # on TPU pods
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        dev_arr = np.asarray(devs).reshape(n_proc, per_host)
+    return Mesh(dev_arr, (dcn_axis, ici_axis))
 
 
 def row_spec_for(mesh: Mesh):
