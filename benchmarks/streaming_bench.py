@@ -9,12 +9,15 @@ matmul FLOP/s in the sketch/power phases at 100k^2 rank-128):
    (~0.3-0.8 GB/s measured) — not the MXU — is the bound; a production
    TPU host (PCIe/DMA tens of GB/s) moves the bound back to compute.
 
-2. SYNTHESIZED-panel runs (`--synth` sizes): the same streamed driver
-   consumes a SynthesizedMatrix whose panels are a device-resident base
-   block (tiled operator).  Per-pass HBM traffic and FLOPs are identical
-   to streaming compute, with the relay removed — this measures the
-   device-side roofline fraction of the sketch/power GEMM phases at the
-   true north-star shape.
+2. SYNTHESIZED-panel runs (`--synth` sizes): the full pipeline over an
+   implicit sign-flipped-tiled operator (panel i = (+/-1)^i * base, base
+   a device-resident Gaussian block) with each streamed pass compiled to
+   ONE XLA program (fori_loop over panels).  Per-pass HBM traffic and
+   FLOPs are identical to streaming compute, with the relay and Python
+   dispatch loop removed — this measures the device-side roofline
+   fraction of the sketch/power GEMM phases at the true north-star
+   shape.  The sign flip keeps the per-panel GEMM loop-dependent so XLA
+   cannot hoist it.
 
 Writes/updates bench_results/streaming.csv (one row per run) and prints a
 summary to stderr.
@@ -134,6 +137,115 @@ def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
     return row
 
 
+def run_synth(size, k, q, precisions, panel_rows=2048):
+    """Device-roofline measurement: every streamed pass of the pipeline as
+    one compiled fori_loop over panels of an implicit tiled operator."""
+    import jax
+    import jax.numpy as jnp
+
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import _gram_eigh_svd
+
+    _PREC = {"highest": jax.lax.Precision.HIGHEST,
+             "high": jax.lax.Precision.HIGH,
+             "default": jax.lax.Precision.DEFAULT}
+
+    tiles = max(1, round(size / panel_rows))
+    m = n = tiles * panel_rows
+    l = k + 16
+    base = jax.random.normal(jax.random.PRNGKey(7), (panel_rows, n),
+                             jnp.float32)
+    base.block_until_ready()
+    log(f"synth operator: {m}x{n} = {tiles} tiles of {panel_rows} rows "
+        f"({base.nbytes / 1e9:.2f} GB base block)")
+
+    jit_qr = jax.jit(qr_reduced, static_argnums=(1,))
+    rows_out = []
+
+    def chain(fn, arg, reps=3):
+        out = fn(arg)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(arg)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps, out
+
+    for prec_name in precisions:
+        prec = _PREC[prec_name]
+
+        @jax.jit
+        def pass_right(bmat):
+            """Y = A @ B over the tiled operator, one program."""
+            y0 = jnp.zeros((m, bmat.shape[1]), jnp.float32)
+
+            def body(i, y):
+                s = jnp.where(i % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+                yp = jnp.matmul(base, bmat * s, precision=prec,
+                                preferred_element_type=jnp.float32)
+                return jax.lax.dynamic_update_slice(
+                    y, yp, (i * panel_rows, 0))
+
+            return jax.lax.fori_loop(0, tiles, body, y0)
+
+        @jax.jit
+        def pass_left(qmat):
+            """Z = A^T @ Q over the tiled operator, one program."""
+            acc0 = jnp.zeros((n, qmat.shape[1]), jnp.float32)
+
+            def body(i, acc):
+                s = jnp.where(i % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+                qp = jax.lax.dynamic_slice(
+                    qmat, (i * panel_rows, 0),
+                    (panel_rows, qmat.shape[1]))
+                return acc + jnp.matmul(base.T, qp * s, precision=prec,
+                                        preferred_element_type=jnp.float32)
+
+            return jax.lax.fori_loop(0, tiles, body, acc0)
+
+        omega = jax.random.normal(jax.random.PRNGKey(1), (n, l), jnp.float32)
+        pass_flops = 2.0 * m * n * l
+        roof = ROOFLINE_TFLOPS[prec_name]
+
+        t_sketch, y = chain(pass_right, omega)
+        q_mat, _ = jit_qr(y, "robust")
+        t_zt, z = chain(pass_left, q_mat)
+        z_q, _ = jit_qr(z, "robust")
+        t_y2, y = chain(pass_right, z_q)
+        q_mat, _ = jit_qr(y, "robust")
+        # project pass reuses pass_left; tail on-device
+        t0 = time.perf_counter()
+        b = pass_left(q_mat).T
+        u, s, v = jax.jit(_gram_eigh_svd)(b)
+        u = q_mat @ u
+        jax.block_until_ready((u, s, v))
+        t_tail = time.perf_counter() - t0
+        s_host = np.asarray(s, np.float64)
+
+        gemm_s = t_sketch + t_zt + t_y2
+        tflops = 3 * pass_flops / gemm_s / 1e12
+        # expected sigma0 of the tiled operator ~ sqrt(tiles)*(sqrt(n)+sqrt(rows))
+        sig0_exp = (tiles ** 0.5) * (n ** 0.5 + panel_rows ** 0.5)
+        row = {
+            "mode": "synth-jit", "m": m, "n": n, "k": k, "l": l, "q": q,
+            "precision": prec_name, "panel_rows": panel_rows,
+            "wall_s": round(gemm_s * (2 * q + 2) / 3 + t_tail, 3),
+            "transfer_gb": 0.0, "h2d_gbps": "",
+            "sketch_s": round(t_sketch, 3),
+            "power_s": round(t_zt + t_y2, 3),
+            "project_s": round(t_zt, 3),
+            "qr_s": "", "tail_s": round(t_tail, 3),
+            "gemm_tflops": round(tflops, 2),
+            "roofline_pct": round(100.0 * tflops / roof, 1),
+            "captured_energy": "",
+            "sigma0": round(float(s_host[0]), 2),
+        }
+        log(" ".join(f"{kk}={vv}" for kk, vv in row.items())
+            + f"  [sigma0 expected ~{sig0_exp:.0f}]")
+        rows_out.append(row)
+    return rows_out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--real", default="", help="comma sizes for host-streamed")
@@ -158,26 +270,7 @@ def main():
     precisions = args.precisions.split(",")
 
     for size in [int(x) for x in args.synth.split(",") if x]:
-        m = n = size
-        panel_rows = max(1, (args.panel_mb << 20) // (n * 4))
-        base = jax.random.normal(jax.random.PRNGKey(7), (panel_rows, n),
-                                 jnp.float32)
-        base.block_until_ready()
-        # tiled implicit operator: every panel is the same device-resident
-        # base block => per-pass HBM reads identical to true streaming,
-        # zero relay traffic.  rank(A) = panel_rows >> l, spectrum scaled
-        # by sqrt(#tiles); fine for subspace iteration.
-        src = SynthesizedMatrix((m, n), lambda s, r: base[:r])
-        norm_est = float((np.asarray(base[:min(panel_rows, 64)]) ** 2).sum())
-        tiles = -(-m // panel_rows)
-        norm_sq = norm_est / min(panel_rows, 64) * panel_rows * tiles
-        for prec in precisions:
-            rows.append(run_one(f"synth", src, m, n, args.k, args.q, prec,
-                                panel_rows, norm_sq))
-            if args.onepass:
-                rows.append(run_one(f"synth-onepass", src, m, n, args.k,
-                                    args.q, prec, panel_rows, norm_sq,
-                                    onepass=True))
+        rows.extend(run_synth(size, args.k, args.q, precisions))
 
     for size in [int(x) for x in args.real.split(",") if x]:
         m = n = size

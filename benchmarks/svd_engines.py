@@ -1,0 +1,132 @@
+"""Full-SVD engine comparison: time + accuracy vs n and spectrum shape.
+
+Sets the data-driven 'auto' dispatch thresholds for the method engines
+(VERDICT round-1 item 5): tournament Jacobi (gemm / scatter), block
+tournament (vmapped pair eigh + scalar polish, norm-presorted), the
+Gram-eigh fast path, and XLA's built-in SVD, measured at n in {512..4096}
+on spectra {flat, geometric cond 1e3, geometric cond 1e6}.
+
+Accuracy columns are vs the f64 NumPy oracle of the same matrix:
+max relative sigma error over the leading half, U orthogonality, and
+relative reconstruction error (all computed on host in f64).
+
+Writes bench_results/svd_engines.csv.
+
+Usage: python benchmarks/svd_engines.py [--sizes 512,1024,2048,4096]
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[svd-eng] {msg}", file=sys.stderr, flush=True)
+
+
+def chain_time(fn, a, n_small=2, n_large=8, reps=2):
+    import jax
+
+    def chain(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(a)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    chain(1)
+    t_s = min(chain(n_small) for _ in range(reps))
+    t_l = min(chain(n_large) for _ in range(reps))
+    return max((t_l - t_s) / (n_large - n_small), 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="512,1024,2048,4096")
+    ap.add_argument("--conds", default="1,1e3,1e6")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.jacobi import jacobi_svd
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import _gram_eigh_svd
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    rows = []
+
+    engines = {
+        "jacobi_gemm": lambda x: jacobi_svd(x, apply="gemm"),
+        "jacobi_scatter": lambda x: jacobi_svd(x, apply="scatter"),
+        "jacobi_block": lambda x: jacobi_svd(x, apply="block"),
+        "gram_eigh": _gram_eigh_svd,
+        "xla_svd": lambda x: jnp.linalg.svd(x, full_matrices=False),
+    }
+
+    for n in [int(x) for x in args.sizes.split(",")]:
+        u0, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        v0, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        for cond_s in args.conds.split(","):
+            cond = float(cond_s)
+            if cond == 1:
+                sig = np.ones(n)
+                sig[n // 2:] = 0.5  # two-level flat (avoids degenerate ties)
+            else:
+                sig = np.logspace(0, -np.log10(cond), n)
+            a64 = (u0 * sig[None, :]) @ v0.T
+            a = jnp.asarray(a64, jnp.float32)
+            s_ref = np.linalg.svd(a64, compute_uv=False)
+            for name, fn in engines.items():
+                if name == "jacobi_gemm" and n > 1024:
+                    continue  # O(n^3) J-assembly rounds; hopeless above 1k
+                if "jacobi" in name and name != "jacobi_block" and n > 2048:
+                    continue  # n-1 sequential rounds/sweep; block covers 4k
+                jf = jax.jit(fn)
+                try:
+                    out = jf(a)
+                    jax.block_until_ready(out)
+                except Exception as e:  # noqa: BLE001
+                    log(f"n={n} cond={cond:g} {name}: FAILED {e}")
+                    continue
+                t = chain_time(jf, a)
+                u, s, v = (np.asarray(x, np.float64) for x in out)
+                if s[0] < s[-1]:  # xla returns descending already; guard
+                    s = s[::-1]
+                vt = v.T if v.shape[0] == n else v
+                half = slice(0, n // 2)
+                rel_sigma = float(np.max(
+                    np.abs(s[half] - s_ref[half]) / s_ref[half]))
+                orth = float(np.linalg.norm(u.T @ u - np.eye(n)))
+                if name == "xla_svd":
+                    rec = (u * s[None, :]) @ v  # v is vt for xla
+                else:
+                    rec = (u * s[None, :]) @ vt.T if vt.shape[0] != n else \
+                        (u * s[None, :]) @ v.T
+                rec_err = float(np.linalg.norm(rec - a64) /
+                                np.linalg.norm(a64))
+                row = {
+                    "n": n, "cond": f"{cond:g}", "engine": name,
+                    "ms": round(t * 1e3, 3),
+                    "rel_sigma_err_tophalf": f"{rel_sigma:.3e}",
+                    "orth_err": f"{orth:.3e}",
+                    "recon_err": f"{rec_err:.3e}",
+                }
+                rows.append(row)
+                log(" ".join(f"{k}={val}" for k, val in row.items()))
+
+    os.makedirs("bench_results", exist_ok=True)
+    with open("bench_results/svd_engines.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    log("wrote bench_results/svd_engines.csv")
+
+
+if __name__ == "__main__":
+    main()

@@ -232,9 +232,22 @@ def _block_jacobi_core(a, tol, max_sweeps: int, block_size: int):
     round solves all disjoint block-pair subproblems at once (vmapped
     2b x 2b eigh of the pair Gram) and applies the resulting orthogonal
     factors as batched GEMMs.  Rounds per sweep: nb-1 instead of n-1 —
-    the large-n engine (MXU-dense, tiny sequential depth)."""
+    the large-n engine (MXU-dense, tiny sequential depth).
+
+    Scale-robust pre-phase: columns are sorted by norm (descending — de
+    Rijk's pivot ordering) before blocking, so each block holds columns of
+    similar scale.  The pair-Gram eigh loses structure below
+    eps * (s_max_in_pair / s_i)^2; scale-graded blocks keep that ratio
+    small *within* the pairs that carry genuine off-diagonal mass, which
+    is what lets wide-dynamic-range spectra converge in the block phase
+    instead of falling through to the scalar polish."""
     m, n_orig = a.shape
     dtype = a.dtype
+    # norm-presort (see docstring); V rows are un-permuted at exit
+    norms0 = jnp.sum(a * a, axis=0)
+    order0 = jnp.argsort(-norms0)
+    inv_order0 = jnp.argsort(order0)
+    a = a[:, order0]
     b = block_size
     nb = -(-n_orig // b)
     nb += nb % 2  # even block count for the tournament
@@ -368,7 +381,9 @@ def _block_jacobi_core(a, tol, max_sweeps: int, block_size: int):
     order = jnp.argsort(-s)[:n_orig]
     s = s[order]
     w = w[:, order]
-    v = v[:n_orig, order]
+    # V's rows refer to the norm-presorted columns of A: un-permute
+    # (A P = U S V_p^T  =>  A = U S (P V_p)^T, P the presort permutation).
+    v = v[:n_orig, order][inv_order0]
     safe = jnp.maximum(s, jnp.finfo(dtype).tiny)
     u = jnp.where(s[None, :] > 0, w / safe[None, :], 0.0)
     return u, s, v, sweeps

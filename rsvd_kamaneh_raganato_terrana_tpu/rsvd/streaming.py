@@ -143,6 +143,33 @@ def _default_panel_rows(m, n, dtype):
     return max(1, min(m, (256 << 20) // max(1, n * itemsize)))
 
 
+# The non-streamed phases run as single compiled programs: op-by-op eager
+# dispatch costs one host round trip PER PRIMITIVE, which dwarfs the math
+# at l ~ 100 (measured ~30-80 ms/dispatch through this environment's
+# relay vs microseconds of device work).
+_jit_qr = jax.jit(qr_reduced, static_argnums=(1,))
+
+
+@partial(jax.jit, static_argnames=("method",))
+def _tail_svd(b, q_mat, method: str):
+    u_t, s, v = small_svd(b, method)
+    u = jnp.matmul(q_mat, u_t, precision=DOT_PRECISION)
+    return u, s, v
+
+
+@partial(jax.jit, static_argnames=("method",))
+def _onepass_solve(q_mat, psi, w, method: str):
+    p_mat = jnp.matmul(psi.T, q_mat, precision=DOT_PRECISION)     # s x l
+    qp, rp = qr_reduced(p_mat, "householder")
+    x = jax.lax.linalg.triangular_solve(
+        rp, jnp.matmul(qp.T, w, precision=DOT_PRECISION),
+        left_side=True, lower=False,
+    )                                                             # l x n
+    u_t, sv, v = small_svd(x, method)
+    u = jnp.matmul(q_mat, u_t, precision=DOT_PRECISION)
+    return u, sv, v
+
+
 class _PhaseClock:
     """Optional per-phase wall timing: syncs the device between phases so
     each bucket is attributable (used by benchmarks/streaming_bench.py)."""
@@ -195,23 +222,22 @@ def rsvd_streaming(
     # stage A: Y = A Omega, Q = qr(Y), q power refinements
     y = _stream_right_multiply(a_host, omega, panel_rows, dtype, prec)
     clock.mark("sketch", y)
-    q_mat, _ = qr_reduced(y, "robust")
+    q_mat, _ = _jit_qr(y, "robust")
     clock.mark("qr", q_mat)
     for _ in range(q):
         z = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec)
         clock.mark("power_zt", z)
-        z_q, _ = qr_reduced(z, "robust")
+        z_q, _ = _jit_qr(z, "robust")
         clock.mark("qr", z_q)
         y = _stream_right_multiply(a_host, z_q, panel_rows, dtype, prec)
         clock.mark("power_y", y)
-        q_mat, _ = qr_reduced(y, "robust")
+        q_mat, _ = _jit_qr(y, "robust")
         clock.mark("qr", q_mat)
 
     # stage B: B = Q^T A  (l x n), streamed:  B = (A^T Q)^T
     b = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec).T
     clock.mark("project", b)
-    u_t, s, v = small_svd(b, method)
-    u = jnp.matmul(q_mat, u_t, precision=DOT_PRECISION)
+    u, s, v = _tail_svd(b, q_mat, method.value)
     clock.mark("tail", u, s, v)
     return u[:, :k], s[:k], v[:, :k]
 
@@ -279,14 +305,7 @@ def rsvd_streaming_onepass(
     y = jnp.concatenate(chunks, axis=0)
     clock.mark("sketch_pass", y, w)
 
-    q_mat, _ = qr_reduced(y, "robust")
-    p_mat = jnp.matmul(psi.T, q_mat, precision=DOT_PRECISION)     # s x l
-    qp, rp = qr_reduced(p_mat, "householder")
-    x = jax.lax.linalg.triangular_solve(
-        rp, jnp.matmul(qp.T, w, precision=DOT_PRECISION),
-        left_side=True, lower=False,
-    )                                                             # l x n
-    u_t, sv, v = small_svd(x, method)
-    u = jnp.matmul(q_mat, u_t, precision=DOT_PRECISION)
+    q_mat, _ = _jit_qr(y, "robust")
+    u, sv, v = _onepass_solve(q_mat, psi, w, method.value)
     clock.mark("solve_tail", u, sv, v)
     return u[:, :k], sv[:k], v[:, :k]
