@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--method", default="eigh")
     ap.add_argument("--precision", default="highest")
     ap.add_argument("--q", type=int, default=2)
+    ap.add_argument("--sketch", default="gaussian",
+                    help="gaussian | fused (Pallas in-kernel Omega)")
+    ap.add_argument("--reorth", default="full")
+    ap.add_argument("--interior-qr", default=None)
+    ap.add_argument("--append", action="store_true")
     ap.add_argument("--out", default="bench_results/scale_sweep.csv")
     args = ap.parse_args()
 
@@ -32,10 +37,7 @@ def main():
     import jax.numpy as jnp
 
     from rsvd_kamaneh_raganato_terrana_tpu.core.profiling import rsvd_flops
-    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
-        generate_omega,
-        rsvd_with_omega,
-    )
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
 
     rng = np.random.default_rng(0)
     rows = []
@@ -44,12 +46,11 @@ def main():
         for k in (int(r) for r in args.ranks.split(",")):
             l = min(k + 16, n)
 
-            @jax.jit
-            def run(x, k=k, l=l):
-                om = generate_omega(0, x.shape[1], l, x.dtype)
-                return rsvd_with_omega(x, om, q=args.q, k=k,
-                                       method=args.method,
-                                       precision=args.precision)
+            def run(x, k=k):
+                return rsvd(x, k=k, p=16, q=args.q, method=args.method,
+                            sketch=args.sketch, precision=args.precision,
+                            reorth=args.reorth,
+                            interior_qr=args.interior_qr)
 
             out = run(a)
             jax.block_until_ready(out)
@@ -72,6 +73,9 @@ def main():
                 "n": n,
                 "k": k,
                 "method": args.method,
+                "sketch": args.sketch,
+                "reorth": args.reorth,
+                "interior_qr": args.interior_qr or "",
                 "precision": args.precision,
                 "ms_per_iter": round(per * 1e3, 3),
                 "gflops": round(gflops, 1),
@@ -84,9 +88,11 @@ def main():
         print("no configurations ran; nothing to write")
         return
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    with open(args.out, "w", newline="") as f:
+    mode = "a" if args.append and os.path.exists(args.out) else "w"
+    with open(args.out, mode, newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
+        if mode == "w":
+            w.writeheader()
         w.writerows(rows)
     print(f"wrote {args.out}")
 

@@ -218,3 +218,55 @@ def generate_gaussian_sharded(mesh: Mesh, key, shape, dtype=jnp.float32,
     return jax.jit(
         lambda k: jax.random.normal(k, shape, dtype), out_shardings=out_sh
     )(key)
+
+
+def sketch_ring_pipelined(mesh: Mesh, a, omega, axis: str = ROWS_AXIS):
+    """Y = A @ Omega with BOTH operands row-sharded — the ring-pipelined
+    sketch for bandwidth-limited (DCN) meshes.
+
+    A is (m, n) row-sharded and Omega (n, l) row-sharded over ``axis``.
+    Instead of all-gathering Omega (the XLA default for a sharded-sharded
+    dot, and the reference's Gatherv+Bcast assembly, src/rSVD.cpp:49-52),
+    Omega's row blocks rotate around the device ring with `ppermute` while
+    every device multiplies the matching column slice of its local A rows:
+    per step each device sends/receives only n*l/P elements to its ICI/DCN
+    neighbor, and the transfer overlaps the local GEMM — classic ring
+    matmul (compute-communicate overlap, SURVEY section 2.6 scale-out
+    role).  Returns Y (m, l) row-sharded like A.
+    """
+    n_dev = 1
+    for nme, s in zip(mesh.axis_names, mesh.devices.shape):
+        if nme == axis:
+            n_dev *= s
+    n = a.shape[1]
+    if n % n_dev:
+        raise ValueError(f"cols={n} not divisible by {n_dev} ring devices")
+    n_per = n // n_dev
+
+    def local(a_blk, om_blk):
+        p = jax.lax.axis_index(axis)
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+        def body(step, carry):
+            y, om = carry
+            # after `step` rotations device p holds the block that started
+            # at device (p + step) mod P, i.e. A's column panel j
+            j = (p + step) % n_dev
+            start = (j * n_per).astype(jnp.int32)
+            cols = jax.lax.dynamic_slice(
+                a_blk, (jnp.int32(0), start), (a_blk.shape[0], n_per))
+            y = y + jnp.matmul(cols, om, precision=DOT_PRECISION)
+            om = jax.lax.ppermute(om, axis, perm)
+            return y, om
+
+        y0 = jnp.zeros((a_blk.shape[0], om_blk.shape[1]), a_blk.dtype)
+        # the accumulator is device-varying from step 1 on; mark it so the
+        # loop carry type is stable under shard_map's varying-axis check
+        y0 = jax.lax.pvary(y0, (axis,))
+        y, _ = jax.lax.fori_loop(0, n_dev, body, (y0, om_blk))
+        return y
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(_row_specs(axis), _row_specs(axis)),
+        out_specs=_row_specs(axis),
+    )(a, omega)

@@ -130,9 +130,10 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
 @partial(
     jax.jit,
     static_argnames=("k", "p", "q", "method", "sketch", "qr_method",
-                     "precision"),
+                     "precision", "reorth", "interior_qr"),
 )
-def _rsvd_impl(a, *, k, p, q, method, sketch, qr_method, seed, precision):
+def _rsvd_impl(a, *, k, p, q, method, sketch, qr_method, seed, precision,
+               reorth, interior_qr):
     # note: seed is a traced argument — changing it does NOT recompile
     m, n = a.shape
     l = min(k + p if k > 0 else p, min(m, n))
@@ -144,8 +145,10 @@ def _rsvd_impl(a, *, k, p, q, method, sketch, qr_method, seed, precision):
         )
 
         y = fused_sketch_matmul(a, l, seed).astype(a.dtype)
-        q_mat = orthonormal_basis(y, qr_method)
-        q_mat = power_refine(a, q_mat, q, qr_method, prec)
+        inner = qr_method if interior_qr is None or q == 0 else interior_qr
+        q_mat = orthonormal_basis(y, inner)
+        q_mat = power_refine(a, q_mat, q, qr_method, prec, reorth,
+                             interior_qr)
         b = _mm(q_mat.T, a, prec)
         u_t, s, v = small_svd(b, method)
         u = _mm(q_mat, u_t)
@@ -153,7 +156,8 @@ def _rsvd_impl(a, *, k, p, q, method, sketch, qr_method, seed, precision):
             u, s, v = u[:, :k], s[:k], v[:, :k]
         return u, s, v
     omega = generate_omega(seed, n, l, a.dtype, sketch)
-    return rsvd_with_omega(a, omega, q, k, method, qr_method, precision)
+    return rsvd_with_omega(a, omega, q, k, method, qr_method, precision,
+                           reorth, interior_qr)
 
 
 def rsvd(
@@ -166,6 +170,8 @@ def rsvd(
     qr_method: str = "robust",
     seed: int = 0,
     precision: str = "highest",
+    reorth: str = "full",
+    interior_qr: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Randomized truncated SVD (reference rSVD, src/rSVD.cpp:72-133).
 
@@ -183,6 +189,7 @@ def rsvd(
     return _rsvd_impl(
         a, k=k, p=p, q=q, method=method.value, sketch=sketch,
         qr_method=qr_method, seed=seed, precision=precision,
+        reorth=reorth, interior_qr=interior_qr,
     )
 
 

@@ -118,3 +118,32 @@ def test_uneven_rows_sharding(mesh8, rng):
 
     with pytest.raises(ValueError):
         meshlib.shard_rows(jnp.asarray(a), mesh8)
+
+
+def test_sketch_ring_pipelined_matches_dense(mesh8, rng):
+    """Ring-rotated Omega sketch == plain A @ Omega, and the compiled
+    program moves Omega with collective-permute (not all-gather)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import (
+        sketch_ring_pipelined,
+    )
+
+    m, n, l = 64, 80, 12
+    a = rng.standard_normal((m, n))
+    omega = rng.standard_normal((n, l))
+    a_sh = jax.device_put(jnp.asarray(a),
+                          NamedSharding(mesh8, P("rows", None)))
+    om_sh = jax.device_put(jnp.asarray(omega),
+                           NamedSharding(mesh8, P("rows", None)))
+    y = sketch_ring_pipelined(mesh8, a_sh, om_sh)
+    np.testing.assert_allclose(np.asarray(y), a @ omega, rtol=1e-10,
+                               atol=1e-10)
+
+    hlo = (
+        jax.jit(lambda x, o: sketch_ring_pipelined(mesh8, x, o))
+        .lower(a_sh, om_sh).compile().as_text()
+    )
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
