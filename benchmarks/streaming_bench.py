@@ -174,14 +174,18 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
     for prec_name in precisions:
         prec = _PREC[prec_name]
 
+        # NOTE: the base block is a function ARGUMENT, never a closure —
+        # a closed-over device array is embedded in the jaxpr as a
+        # constant and serialized with the program to the remote
+        # compiler (observed: 45+ min "compile" for the 0.8 GB block).
         @jax.jit
-        def pass_right(bmat):
+        def pass_right_impl(bb, bmat):
             """Y = A @ B over the tiled operator, one program."""
             y0 = jnp.zeros((m, bmat.shape[1]), jnp.float32)
 
             def body(i, y):
                 s = jnp.where(i % 2 == 0, 1.0, -1.0).astype(jnp.float32)
-                yp = jnp.matmul(base, bmat * s, precision=prec,
+                yp = jnp.matmul(bb, bmat * s, precision=prec,
                                 preferred_element_type=jnp.float32)
                 return jax.lax.dynamic_update_slice(
                     y, yp, (i * panel_rows, 0))
@@ -189,7 +193,7 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
             return jax.lax.fori_loop(0, tiles, body, y0)
 
         @jax.jit
-        def pass_left(qmat):
+        def pass_left_impl(bb, qmat):
             """Z = A^T @ Q over the tiled operator, one program."""
             acc0 = jnp.zeros((n, qmat.shape[1]), jnp.float32)
 
@@ -198,10 +202,16 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
                 qp = jax.lax.dynamic_slice(
                     qmat, (i * panel_rows, 0),
                     (panel_rows, qmat.shape[1]))
-                return acc + jnp.matmul(base.T, qp * s, precision=prec,
+                return acc + jnp.matmul(bb.T, qp * s, precision=prec,
                                         preferred_element_type=jnp.float32)
 
             return jax.lax.fori_loop(0, tiles, body, acc0)
+
+        def pass_right(bmat):
+            return pass_right_impl(base, bmat)
+
+        def pass_left(qmat):
+            return pass_left_impl(base, qmat)
 
         omega = jax.random.normal(jax.random.PRNGKey(1), (n, l), jnp.float32)
         pass_flops = 2.0 * m * n * l

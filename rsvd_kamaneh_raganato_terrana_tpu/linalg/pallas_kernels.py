@@ -187,3 +187,102 @@ def quantize_uint8(x, interpret: bool | None = None):
         interpret=interpret,
     )(tiled, lo[None], scale[None])
     return jnp.ravel(q)[:total].reshape(shape), scale, lo
+
+
+def _eigh_kernel(g_ref, pi_ref, lam_ref, v_ref, gw, vw, *,
+                 n_pad: int, steps: int):
+    """Single-kernel two-sided Jacobi eigensolver for a symmetric matrix
+    resident in VMEM.
+
+    Brent-Luk-style tournament with CONSTANT structure: every round
+    rotates the mirror pairs (i, n-1-i) — their rotation matrix J is
+    mask-built (diagonal c + anti-diagonal s, no gathers/scatters) — and
+    then re-shuffles rows/columns with the constant circle-method
+    permutation Pi so that after n-1 rounds every index pair has met.
+    Each round is therefore 4 MXU matmuls (J@Pi, two-sided update, V
+    update) plus a few VPU vector ops; `steps = sweeps * (n-1)` rounds
+    run inside one `fori_loop` — one kernel launch for the whole
+    eigendecomposition, replacing XLA's ~0.2 ms `eigh` for the rSVD
+    tail's l x l Gram (the reference's small-problem role is Eigen's
+    SelfAdjointEigenSolver, POD.cpp:272-279)."""
+    eps = jnp.float32(jnp.finfo(jnp.float32).eps)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    eye = (row == col).astype(jnp.float32)
+    anti = (row + col == n_pad - 1).astype(jnp.float32)
+
+    gw[:] = g_ref[:]
+    vw[:] = eye
+
+    def body(_, carry):
+        g = gw[:]
+        d = jnp.sum(g * eye, axis=1, keepdims=True)        # (n, 1) diag
+        r = jnp.sum(g * anti, axis=1, keepdims=True)       # G[i, n-1-i]
+        rev_d = jnp.dot(anti, d, preferred_element_type=jnp.float32)
+        do = r * r > (eps * eps) * jnp.abs(d * rev_d)
+        g_safe = jnp.where(do, r, 1.0)
+        tau = (rev_d - d) / (2.0 * g_safe)
+        sgn = jnp.where(tau >= 0, 1.0, -1.0)
+        t = jnp.where(do, sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)),
+                      0.0)
+        c = jax.lax.rsqrt(1.0 + t * t)
+        s = t * c
+        # J[i,i] = c_i, J[i, n-1-i] = s_i (s_i = -s_{n-1-i} by tau's
+        # antisymmetry, giving the (+s, -s) plane-rotation pair)
+        j = eye * c + anti * s
+        mrot = jnp.dot(j, pi_ref[:], preferred_element_type=jnp.float32)
+        gm = jnp.dot(g, mrot, preferred_element_type=jnp.float32)
+        gw[:] = jnp.dot(mrot.T, gm, preferred_element_type=jnp.float32)
+        vw[:] = jnp.dot(vw[:], mrot, preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, steps, body, jnp.int32(0))
+    lam_ref[:] = jnp.sum(gw[:] * eye, axis=1, keepdims=True).T
+    v_ref[:] = vw[:]
+
+
+def eigh_small(g, sweeps: int = 8, interpret: bool | None = None):
+    """Eigendecomposition of a small symmetric (PSD-oriented) matrix in
+    ONE Pallas kernel launch: returns (eigenvalues ascending, V) like
+    ``jnp.linalg.eigh``.
+
+    Accuracy ~f32 eps relative to the dominant eigenvalue (two-sided
+    cyclic Jacobi, `sweeps` full tournaments).  Intended for the l x l
+    Gram tails of the rSVD pipeline (l <= ~512); larger inputs should use
+    ``jnp.linalg.eigh``.  Padding uses a -1 diagonal so pad eigenpairs
+    sort strictly below genuine PSD eigenvalues.
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    n = g.shape[-1]
+    n_pad = _round_up(n, 2) if interpret else max(128, _round_up(n, 128))
+    g = g.astype(jnp.float32)
+    if n_pad != n:
+        g = jnp.pad(g, ((0, n_pad - n), (0, n_pad - n)))
+        # pad block: decoupled -1 eigenvalues (sort below any PSD eig)
+        pad_diag = (jnp.arange(n_pad) >= n).astype(jnp.float32)
+        g = g - jnp.diag(pad_diag)
+
+    perm = np.empty(n_pad, dtype=np.int32)
+    perm[0] = 0
+    perm[1] = n_pad - 1
+    perm[2:] = np.arange(1, n_pad - 1, dtype=np.int32)
+    pi = jnp.asarray(np.eye(n_pad, dtype=np.float32)[:, perm])
+
+    steps = sweeps * (n_pad - 1)
+    kernel = functools.partial(_eigh_kernel, n_pad=n_pad, steps=steps)
+    lam, v = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, n_pad), jnp.float32),
+            pltpu.VMEM((n_pad, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, pi)
+    lam = lam[0]
+    order = jnp.argsort(lam)[n_pad - n:]   # ascending, drop pad (-1) eigs
+    return lam[order], v[:n, order]

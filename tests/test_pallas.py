@@ -94,3 +94,38 @@ def test_quantize_uint8(rng):
     assert q.dtype == jnp.uint8
     back = np.asarray(q, dtype=np.float64) * float(scale) + float(lo)
     assert np.abs(back - np.asarray(x)).max() <= float(scale) * 0.51 + 1e-6
+
+
+def test_eigh_small_matches_numpy(rng):
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.pallas_kernels import (
+        eigh_small,
+    )
+
+    n = 24
+    b = rng.standard_normal((n, 3 * n)).astype(np.float32)
+    g = b @ b.T
+    lam, v = eigh_small(jnp.asarray(g), interpret=True)
+    lam_ref = np.linalg.eigvalsh(g.astype(np.float64))
+    assert np.abs(np.asarray(lam, np.float64) - lam_ref).max() \
+        / lam_ref.max() < 1e-4
+    vv = np.asarray(v)
+    assert np.abs(vv.T @ vv - np.eye(n)).max() < 1e-3
+    rec = (vv * np.asarray(lam)[None, :]) @ vv.T
+    assert np.linalg.norm(rec - g) / np.linalg.norm(g) < 1e-4
+
+
+def test_eigh_small_padding_and_rank_deficiency(rng):
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.pallas_kernels import (
+        eigh_small,
+    )
+
+    n, r = 21, 6  # odd size forces padding; rank 6 < n
+    b = rng.standard_normal((n, r)).astype(np.float32)
+    g = b @ b.T
+    lam, v = eigh_small(jnp.asarray(g), interpret=True)
+    lam = np.asarray(lam, np.float64)
+    assert lam.shape == (n,)
+    # pad eigenpairs must not leak in: all returned eigs >= ~0
+    assert lam.min() > -1e-3
+    lam_ref = np.linalg.eigvalsh(g.astype(np.float64))
+    assert np.abs(np.sort(lam) - lam_ref).max() / lam_ref.max() < 1e-4
