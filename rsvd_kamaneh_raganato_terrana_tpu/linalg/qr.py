@@ -141,6 +141,14 @@ def qr_reduced(a, method: str = "robust"):
     - ``householder``: XLA's built-in QR.
     """
 
+    if a.dtype in (jnp.bfloat16, jnp.float16):
+        # XLA's cholesky/triangular_solve/qr have no low-precision
+        # kernels; factor in f32 and hand back the input dtype (the bf16
+        # serving mode — Q's orthogonality is then bf16-limited by
+        # construction).
+        q, r = qr_reduced(a.astype(jnp.float32), method)
+        return q.astype(a.dtype), r.astype(a.dtype)
+
     def _householder(op):
         res = jnp.linalg.qr(op, mode="reduced")
         return res[0], res[1]  # QRResult namedtuple -> plain tuple

@@ -54,6 +54,10 @@ def _gram_eigh_svd(a):
     batched-friendly eigh + one GEMM — minimal sequential depth on TPU."""
     m, n = a.shape
     dtype = a.dtype
+    if dtype in (jnp.bfloat16, jnp.float16):
+        # no low-precision eigh kernel; factor in f32, return input dtype
+        u, s, v = _gram_eigh_svd(a.astype(jnp.float32))
+        return u.astype(dtype), s.astype(dtype), v.astype(dtype)
     if m <= n:
         g = jnp.matmul(a, a.T, preferred_element_type=dtype,
                        precision=jax.lax.Precision.HIGHEST)

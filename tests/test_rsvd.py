@@ -117,3 +117,16 @@ def test_generate_omega_shape_and_determinism():
     # standard normal-ish
     assert abs(float(o1.mean())) < 0.1
     assert 0.8 < float(o1.std()) < 1.2
+
+
+def test_rsvd_bfloat16_end_to_end(rng):
+    """bf16 inputs run the whole pipeline in bf16 (dtype-agnostic library)
+    with commensurate accuracy — the serving-throughput mode."""
+    a64 = rng.standard_normal((128, 16)) @ rng.standard_normal((16, 96))
+    a = jnp.asarray(a64, jnp.bfloat16)
+    u, s, v = rsvd(a, k=16, p=8, q=2, method="eigh")
+    assert u.dtype == jnp.bfloat16 and v.dtype == jnp.bfloat16
+    rec = (np.asarray(u, np.float64) * np.asarray(s, np.float64)[None, :]) \
+        @ np.asarray(v, np.float64).T
+    rel = np.linalg.norm(rec - a64) / np.linalg.norm(a64)
+    assert rel < 0.05  # bf16 has ~3 significant digits

@@ -91,3 +91,21 @@ def test_onepass_matches_full_svd_on_decaying_spectrum(rng):
     err = np.linalg.norm(a - rec)
     opt = np.linalg.norm(sig[k:])
     assert err < 10 * opt
+
+
+def test_onepass_panel_invariance(rng):
+    """One-pass results must not depend on the panel decomposition."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
+        rsvd_streaming_onepass,
+    )
+
+    a = (rng.standard_normal((120, 90)) @
+         rng.standard_normal((90, 90))).astype(np.float64)
+    outs = []
+    for pr in (30, 50, 120):
+        u, s, v = rsvd_streaming_onepass(a, k=8, p=6, panel_rows=pr,
+                                         dtype=jnp.float64)
+        outs.append((np.asarray(u), np.asarray(s), np.asarray(v)))
+    for u, s, v in outs[1:]:
+        np.testing.assert_allclose(s, outs[0][1], rtol=1e-9)
+        np.testing.assert_allclose(np.abs(u), np.abs(outs[0][0]), atol=1e-8)
