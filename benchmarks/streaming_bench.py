@@ -174,17 +174,21 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
     for prec_name in precisions:
         prec = _PREC[prec_name]
 
-        # NOTE: the base block is a function ARGUMENT, never a closure —
-        # a closed-over device array is embedded in the jaxpr as a
-        # constant and serialized with the program to the remote
-        # compiler (observed: 45+ min "compile" for the 0.8 GB block).
+        # NOTES: (1) the base block is a function ARGUMENT, never a
+        # closure — a closed-over device array is embedded in the jaxpr
+        # as a constant and serialized with the program to the remote
+        # compiler (observed: 45+ min "compile" for the 0.8 GB block);
+        # (2) the per-panel sign is read from a TRACED vector — a
+        # compile-time (-1)^i constant-folds once the loop unrolls and
+        # CSE collapses all panel GEMMs into one (observed: "283% of
+        # roofline").
         @jax.jit
-        def pass_right_impl(bb, bmat):
+        def pass_right_impl(bb, sg, bmat):
             """Y = A @ B over the tiled operator, one program."""
             y0 = jnp.zeros((m, bmat.shape[1]), jnp.float32)
 
             def body(i, y):
-                s = jnp.where(i % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+                s = jax.lax.dynamic_index_in_dim(sg, i, keepdims=False)
                 yp = jnp.matmul(bb, bmat * s, precision=prec,
                                 preferred_element_type=jnp.float32)
                 return jax.lax.dynamic_update_slice(
@@ -193,12 +197,12 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
             return jax.lax.fori_loop(0, tiles, body, y0)
 
         @jax.jit
-        def pass_left_impl(bb, qmat):
+        def pass_left_impl(bb, sg, qmat):
             """Z = A^T @ Q over the tiled operator, one program."""
             acc0 = jnp.zeros((n, qmat.shape[1]), jnp.float32)
 
             def body(i, acc):
-                s = jnp.where(i % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+                s = jax.lax.dynamic_index_in_dim(sg, i, keepdims=False)
                 qp = jax.lax.dynamic_slice(
                     qmat, (i * panel_rows, 0),
                     (panel_rows, qmat.shape[1]))
@@ -207,11 +211,14 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
 
             return jax.lax.fori_loop(0, tiles, body, acc0)
 
+        signs = jnp.asarray(
+            np.where(np.arange(tiles) % 2 == 0, 1.0, -1.0), jnp.float32)
+
         def pass_right(bmat):
-            return pass_right_impl(base, bmat)
+            return pass_right_impl(base, signs, bmat)
 
         def pass_left(qmat):
-            return pass_left_impl(base, qmat)
+            return pass_left_impl(base, signs, qmat)
 
         omega = jax.random.normal(jax.random.PRNGKey(1), (n, l), jnp.float32)
         pass_flops = 2.0 * m * n * l
