@@ -412,6 +412,46 @@ class Image:
             self.tile_factors = None
 
 
+def compress_video(frames, k: int, p: int = 10, q: int = 1, seed: int = 0,
+                   dtype=jnp.float32, mesh=None):
+    """Batched low-rank compression of a frame stack (T, H, W).
+
+    Per-frame rSVD with a SHARED sketch (one Omega for every frame, so
+    the whole batch is one vmapped compiled program); pass ``mesh`` to
+    shard the frame axis over devices.  Returns (U (T,H,l), S (T,l),
+    V (T,W,l)) as host arrays.  No reference counterpart — the natural
+    batch extension of the image codec (ROADMAP feature).
+    """
+    from rsvd_kamaneh_raganato_terrana_tpu.core.rng import sketch_matrix
+
+    frames = np.asarray(frames)
+    t, h, w = frames.shape
+    l = min(k + p, min(h, w))
+    omega = sketch_matrix(jax.random.PRNGKey(seed), w, l, dtype)
+    stack = jnp.asarray(frames, dtype=dtype)
+    if mesh is not None and t % mesh.devices.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stack = jax.device_put(
+            stack, NamedSharding(mesh, P(mesh.axis_names[0])))
+
+    @jax.jit
+    def run(fs):
+        # householder QR: under vmap the robust path's lax.cond runs both
+        # branches per frame anyway — see Image.compress()
+        return jax.vmap(lambda f: rsvd_with_omega(
+            f, omega, q=q, k=k, qr_method="householder"))(fs)
+
+    u, s, v = run(stack)
+    return np.asarray(u), np.asarray(s), np.asarray(v)
+
+
+def reconstruct_video(u, s, v) -> np.ndarray:
+    """Inverse of :func:`compress_video`: (T, H, W) frame stack."""
+    return np.einsum("tik,tk,tjk->tij", np.asarray(u), np.asarray(s),
+                     np.asarray(v))
+
+
 def _truncate_byte(x: np.ndarray) -> np.ndarray:
     """The reference's byte mapping ``(char)(static_cast<int>(x) & 0xFF)``
     (image_com.cpp:97-99): truncate toward zero, keep the low byte."""

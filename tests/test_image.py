@@ -242,3 +242,21 @@ def test_reference_dat_pixel_range_roundtrip(img256, tmp_path):
     np.testing.assert_array_equal(back.U, im.U)
     np.testing.assert_array_equal(back.S, im.S)
     np.testing.assert_array_equal(back.V, im.V)
+
+
+def test_video_batch_compression(rng, mesh8):
+    from rsvd_kamaneh_raganato_terrana_tpu.apps.image import (
+        compress_video,
+        reconstruct_video,
+    )
+
+    t, h, w, r = 8, 48, 64, 6
+    frames = np.stack([
+        rng.standard_normal((h, r)) @ rng.standard_normal((r, w))
+        for _ in range(t)
+    ])
+    u, s, v = compress_video(frames, k=r, p=4, mesh=mesh8)
+    assert u.shape == (t, h, r) and s.shape == (t, r) and v.shape == (t, w, r)
+    rec = reconstruct_video(u, s, v)
+    rel = np.linalg.norm(rec - frames) / np.linalg.norm(frames)
+    assert rel < 1e-4
