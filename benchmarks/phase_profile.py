@@ -29,15 +29,25 @@ def log(msg):
 
 
 def chain_time(fn, args, n_small=4, n_large=20, reps=3):
-    """Per-dispatch seconds from the slope between two chain lengths."""
+    """Per-dispatch seconds from the slope between two chain lengths.
+    Each chain ends with a 1-element device->host fetch: block_until_ready
+    alone can under-report through the relay transport; the fetch RTT
+    cancels in the slope."""
     import jax
+    import jax.numpy as jnp
+
+    def force(out):
+        x = out
+        while isinstance(x, (tuple, list)):
+            x = x[-1]
+        np.asarray(jax.device_get(jnp.ravel(x)[:1]))
 
     def chain(n):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
             out = fn(*args)
-        jax.block_until_ready(out)
+        force(out)
         return time.perf_counter() - t0
 
     chain(2)  # warm dispatch path

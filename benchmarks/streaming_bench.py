@@ -162,14 +162,28 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
     jit_qr = jax.jit(qr_reduced, static_argnums=(1,))
     rows_out = []
 
-    def chain(fn, arg, reps=3):
+    def _force(x):
+        # block_until_ready under-reports through the relay; a 1-element
+        # device->host fetch cannot (execution is in-order per device)
+        np.asarray(jax.device_get(jnp.ravel(x)[:1]))
+
+    def chain(fn, arg, n_small=1, n_large=4):
+        """Per-call seconds from the slope between two chain lengths (the
+        fetch RTT cancels in the delta)."""
         out = fn(arg)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(arg)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps, out
+        _force(out)
+
+        def run(nn):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(nn):
+                o = fn(arg)
+            _force(o)
+            return time.perf_counter() - t0
+
+        t_s = min(run(n_small) for _ in range(2))
+        t_l = min(run(n_large) for _ in range(2))
+        return max((t_l - t_s) / (n_large - n_small), 1e-9), out
 
     for prec_name in precisions:
         prec = _PREC[prec_name]
@@ -236,6 +250,7 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
         u, s, v = jax.jit(_gram_eigh_svd)(b)
         u = q_mat @ u
         jax.block_until_ready((u, s, v))
+        _force(u)
         t_tail = time.perf_counter() - t0
         s_host = np.asarray(s, np.float64)
 

@@ -30,13 +30,15 @@ def log(msg):
 
 def chain_time(fn, a, n_small=2, n_large=8, reps=2):
     import jax
+    import jax.numpy as jnp
 
     def chain(n):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
             out = fn(a)
-        jax.block_until_ready(out)
+        # 1-element fetch: block_until_ready under-reports via the relay
+        np.asarray(jax.device_get(jnp.ravel(out[1])[:1]))
         return time.perf_counter() - t0
 
     chain(1)

@@ -172,7 +172,14 @@ def _onepass_solve(q_mat, psi, w, method: str):
 
 class _PhaseClock:
     """Optional per-phase wall timing: syncs the device between phases so
-    each bucket is attributable (used by benchmarks/streaming_bench.py)."""
+    each bucket is attributable (used by benchmarks/streaming_bench.py).
+
+    Synchronization fetches ONE element of the last array device-to-host:
+    `block_until_ready` alone under-reports through relay-style transports
+    (it can return before remote execution finishes), while a value fetch
+    cannot.  Device execution is in-order, so one element of the
+    last-dispatched result implies the whole phase completed.  Each mark
+    costs one host round trip — negligible against streamed phases."""
 
     def __init__(self, sink: Optional[dict]):
         self._sink = sink
@@ -183,6 +190,9 @@ class _PhaseClock:
             return
         for x in arrays:
             jax.block_until_ready(x)
+        if arrays:
+            last = arrays[-1]
+            np.asarray(jax.device_get(jnp.ravel(last)[:1]))
         now = time.perf_counter()
         self._sink[name] = self._sink.get(name, 0.0) + (now - self._t)
         self._t = now
