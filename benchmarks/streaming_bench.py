@@ -54,6 +54,17 @@ def log(msg):
     print(f"[stream-bench] {msg}", file=sys.stderr, flush=True)
 
 
+def append_row(row):
+    """Append immediately so killed/partial runs keep their rows."""
+    os.makedirs("bench_results", exist_ok=True)
+    exists = os.path.exists(CSV_PATH)
+    with open(CSV_PATH, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=FIELDS)
+        if not exists:
+            w.writeheader()
+        w.writerow(row)
+
+
 def gen_host_matrix(m, n, seed=0, threads=4):
     """iid N(0,1) f32 host matrix, generated in parallel row blocks;
     returns (A, ||A||_F^2)."""
@@ -134,6 +145,7 @@ def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
         "sigma0": round(float(s_host[0]), 3),
     }
     log(" ".join(f"{k}={v}" for k, v in row.items()))
+    append_row(row)
     return row
 
 
@@ -274,6 +286,7 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
         }
         log(" ".join(f"{kk}={vv}" for kk, vv in row.items())
             + f"  [sigma0 expected ~{sig0_exp:.0f}]")
+        append_row(row)
         rows_out.append(row)
     return rows_out
 
@@ -321,14 +334,7 @@ def main():
                                     onepass=True))
         del a
 
-    os.makedirs("bench_results", exist_ok=True)
-    exists = os.path.exists(CSV_PATH)
-    with open(CSV_PATH, "a", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=FIELDS)
-        if not exists:
-            w.writeheader()
-        w.writerows(rows)
-    log(f"appended {len(rows)} rows to {CSV_PATH}")
+    log(f"recorded {len(rows)} rows in {CSV_PATH}")
 
 
 if __name__ == "__main__":
