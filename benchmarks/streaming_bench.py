@@ -87,6 +87,26 @@ def gen_host_matrix(m, n, seed=0, threads=4):
     return a, sum(norms)
 
 
+class TiledHostMatrix:
+    """Host-side implicit tiled matrix: row slices resolve into a base
+    block, so a 40 GB operand needs neither 40 GB of RAM nor an hour of
+    host RNG — while every panel still genuinely crosses the host->device
+    wire (the quantity the real-streamed benchmark measures).  Slices must
+    stay within one tile: keep panel_rows | base rows."""
+
+    def __init__(self, base, m):
+        self.base = base
+        self.shape = (m, base.shape[1])
+
+    def __getitem__(self, sl):
+        start = sl.start or 0
+        rows = sl.stop - start
+        br = self.base.shape[0]
+        off = start % br
+        assert off + rows <= br, "panel crosses tile boundary"
+        return self.base[off:off + rows]
+
+
 def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
             onepass=False):
     import jax
@@ -294,6 +314,9 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--real", default="", help="comma sizes for host-streamed")
+    ap.add_argument("--real-tiled", default="",
+                    help="comma sizes for host-streamed TILED operators "
+                         "(full wire traffic, no 40 GB host buffer)")
     ap.add_argument("--synth", default="", help="comma sizes for synthesized")
     ap.add_argument("--k", type=int, default=128)
     ap.add_argument("--q", type=int, default=2)
@@ -316,6 +339,25 @@ def main():
 
     for size in [int(x) for x in args.synth.split(",") if x]:
         rows.extend(run_synth(size, args.k, args.q, precisions))
+
+    for size in [int(x) for x in args.real_tiled.split(",") if x]:
+        m = n = size
+        panel_rows = max(1, (args.panel_mb << 20) // (n * 4))
+        rng0 = np.random.default_rng(3)
+        # base: low-rank signal + noise so the tiled operator has a
+        # decaying spectrum the one-pass estimator resolves
+        br = panel_rows * 2
+        base = (5.0 * rng0.standard_normal((br, 64)).astype(np.float32)
+                @ rng0.standard_normal((64, n)).astype(np.float32)
+                + rng0.standard_normal((br, n)).astype(np.float32))
+        tiles = -(-m // br)
+        src_t = TiledHostMatrix(base, tiles * br)
+        m = n_rows = tiles * br
+        norm_sq = float((base.astype(np.float64) ** 2).sum()) * tiles
+        for prec in precisions:
+            rows.append(run_one("real-tiled-onepass", src_t, m, n, args.k,
+                                args.q, prec, panel_rows, norm_sq,
+                                onepass=True))
 
     for size in [int(x) for x in args.real.split(",") if x]:
         m = n = size
