@@ -89,6 +89,13 @@ def main():
         return
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     mode = "a" if args.append and os.path.exists(args.out) else "w"
+    if mode == "a":
+        with open(args.out) as f:
+            existing = f.readline().strip()
+        if existing != ",".join(rows[0].keys()):
+            raise SystemExit(
+                f"--append: {args.out} has a different column schema "
+                f"({existing!r}); write to a fresh --out instead")
     with open(args.out, mode, newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         if mode == "w":

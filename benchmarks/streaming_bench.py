@@ -25,7 +25,7 @@ summary to stderr.
 Usage:
   python benchmarks/streaming_bench.py --synth 100000 --k 128
   python benchmarks/streaming_bench.py --real 16384,32768 --k 128
-  STREAM_REAL_NS=1 ... --real 100000   # ~10 min through the relay
+  python benchmarks/streaming_bench.py --real-tiled 100000 --k 128
 """
 
 import argparse
@@ -269,6 +269,16 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
         omega = jax.random.normal(jax.random.PRNGKey(1), (n, l), jnp.float32)
         pass_flops = 2.0 * m * n * l
         roof = ROOFLINE_TFLOPS[prec_name]
+
+        # warm/compile the whole phase chain once so no timed bucket
+        # includes trace/compile time (observed: 5.7 s of compile in the
+        # first precision's tail_s)
+        y_w = pass_right(omega)
+        qm_w, _ = jit_qr(y_w, "robust")
+        z_w = pass_left(qm_w)
+        b_w = z_w.T
+        uw, sw, vw = jax.jit(_gram_eigh_svd)(b_w)
+        _force(qm_w @ uw)
 
         t_sketch, y = chain(pass_right, omega)
         q_mat, _ = jit_qr(y, "robust")

@@ -98,8 +98,9 @@ def main():
                     continue
                 t = chain_time(jf, a)
                 u, s, v = (np.asarray(x, np.float64) for x in out)
-                if s[0] < s[-1]:  # xla returns descending already; guard
-                    s = s[::-1]
+                assert s[0] >= s[-1], (
+                    f"{name} returned ascending singular values; metrics "
+                    "below assume descending factor order")
                 vt = v.T if v.shape[0] == n else v
                 half = slice(0, n // 2)
                 rel_sigma = float(np.max(

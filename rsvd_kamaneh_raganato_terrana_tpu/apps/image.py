@@ -418,9 +418,9 @@ def compress_video(frames, k: int, p: int = 10, q: int = 1, seed: int = 0,
 
     Per-frame rSVD with a SHARED sketch (one Omega for every frame, so
     the whole batch is one vmapped compiled program); pass ``mesh`` to
-    shard the frame axis over devices.  Returns (U (T,H,l), S (T,l),
-    V (T,W,l)) as host arrays.  No reference counterpart — the natural
-    batch extension of the image codec (ROADMAP feature).
+    shard the frame axis over its first axis.  Returns k-truncated host
+    factors (U (T,H,k), S (T,k), V (T,W,k)).  No reference counterpart —
+    the natural batch extension of the image codec (ROADMAP feature).
     """
     from rsvd_kamaneh_raganato_terrana_tpu.core.rng import sketch_matrix
 
@@ -429,7 +429,9 @@ def compress_video(frames, k: int, p: int = 10, q: int = 1, seed: int = 0,
     l = min(k + p, min(h, w))
     omega = sketch_matrix(jax.random.PRNGKey(seed), w, l, dtype)
     stack = jnp.asarray(frames, dtype=dtype)
-    if mesh is not None and t % mesh.devices.size == 0:
+    # frame axis shards over the mesh's FIRST axis only, so divisibility
+    # is against that axis size, not the total device count
+    if mesh is not None and t % mesh.devices.shape[0] == 0:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         stack = jax.device_put(

@@ -259,9 +259,12 @@ def eigh_small(g, sweeps: int = 8, interpret: bool | None = None):
     g = g.astype(jnp.float32)
     if n_pad != n:
         g = jnp.pad(g, ((0, n_pad - n), (0, n_pad - n)))
-        # pad block: decoupled -1 eigenvalues (sort below any PSD eig)
+        # pad block: decoupled eigenvalues at -(||G||_F + 1), strictly
+        # below every genuine eigenvalue (|lambda_min| <= ||G||_F), so the
+        # sort can never confuse pad eigenpairs with real ones — even for
+        # indefinite (non-PSD) symmetric inputs
         pad_diag = (jnp.arange(n_pad) >= n).astype(jnp.float32)
-        g = g - jnp.diag(pad_diag)
+        g = g - (jnp.linalg.norm(g) + 1.0) * jnp.diag(pad_diag)
 
     perm = np.empty(n_pad, dtype=np.int32)
     perm[0] = 0

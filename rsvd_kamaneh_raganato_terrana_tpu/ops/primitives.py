@@ -247,15 +247,17 @@ def sketch_ring_pipelined(mesh: Mesh, a, omega, axis: str = ROWS_AXIS):
         p = jax.lax.axis_index(axis)
         perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
-        def body(step, carry):
-            y, om = carry
+        def col_panel(step):
             # after `step` rotations device p holds the block that started
             # at device (p + step) mod P, i.e. A's column panel j
             j = (p + step) % n_dev
             start = (j * n_per).astype(jnp.int32)
-            cols = jax.lax.dynamic_slice(
+            return jax.lax.dynamic_slice(
                 a_blk, (jnp.int32(0), start), (a_blk.shape[0], n_per))
-            y = y + jnp.matmul(cols, om, precision=DOT_PRECISION)
+
+        def body(step, carry):
+            y, om = carry
+            y = y + jnp.matmul(col_panel(step), om, precision=DOT_PRECISION)
             om = jax.lax.ppermute(om, axis, perm)
             return y, om
 
@@ -263,7 +265,11 @@ def sketch_ring_pipelined(mesh: Mesh, a, omega, axis: str = ROWS_AXIS):
         # the accumulator is device-varying from step 1 on; mark it so the
         # loop carry type is stable under shard_map's varying-axis check
         y0 = jax.lax.pvary(y0, (axis,))
-        y, _ = jax.lax.fori_loop(0, n_dev, body, (y0, om_blk))
+        # n_dev - 1 rotations suffice: the last block is multiplied after
+        # the loop with no trailing ppermute (it would only feed a
+        # discarded carry — pure wasted ring traffic)
+        y, om = jax.lax.fori_loop(0, n_dev - 1, body, (y0, om_blk))
+        y = y + jnp.matmul(col_panel(n_dev - 1), om, precision=DOT_PRECISION)
         return y
 
     return jax.shard_map(

@@ -224,6 +224,24 @@ def _grow_basis_block(a, q_prev, omega_new, q: int, qr_method: str = "robust"):
     return orthonormal_basis(y, qr_method)
 
 
+# jitted per-round pieces of rsvd_adaptive: eager op-by-op dispatch costs
+# ~30-80 ms per primitive through a relay transport (CLAUDE.md rule)
+@partial(jax.jit, static_argnames=("q",))
+def _adaptive_init(a, omega, q: int):
+    q_mat = subspace_iteration(a, omega, q)
+    return q_mat, _mm(q_mat.T, a)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def _adaptive_svd(b, method: str):
+    return small_svd(b, method)
+
+
+@jax.jit
+def _adaptive_project(a, q_blk):
+    return _mm(q_blk.T, a)
+
+
 def _predict_rank(s64: np.ndarray, a_norm_sq: float, target_sq: float,
                   l: int, k_cap: int) -> int:
     """Log-linear extrapolation of the computed spectrum tail: the next
@@ -280,13 +298,12 @@ def rsvd_adaptive(
 
     if isinstance(a, jsparse.JAXSparse):
         # canonicalize first: duplicate indices are summed into one logical
-        # entry, so summing raw .data squares would overcount ||A||_F^2
+        # entry, so summing raw .data squares would overcount ||A||_F^2.
+        # A stays sparse through the whole pipeline (all products below
+        # are sparse x dense with small dense intermediates).
         if hasattr(a, "sum_duplicates"):
             a = a.sum_duplicates()
         a_norm_sq = float(jnp.sum(jnp.square(a.data)))
-        # the dense-GEMM basis growth below needs dense products; BCOO
-        # matmuls densify row-by-row anyway, so densify once up front
-        a = a.todense()
     else:
         a = jnp.asarray(a)
         a_norm_sq = float(jnp.sum(jnp.square(a)))
@@ -296,11 +313,11 @@ def rsvd_adaptive(
 
     l = min(k0, k_cap)
     omega = generate_omega(seed, a.shape[1], l, a.dtype)
-    q_mat = subspace_iteration(a, omega, q)          # m x l
-    b = _mm(q_mat.T, a)                              # l x n
+    q_mat, b = _adaptive_init(a, omega, q)           # m x l, l x n
     round_no = 0
+    method_v = SVDMethod.parse(method).value
     while True:
-        u_t, s, v = small_svd(b, method)
+        u_t, s, v = _adaptive_svd(b, method_v)
         s64 = np.asarray(s, dtype=np.float64)
         energy = np.cumsum(s64 * s64)
         resid_sq = np.maximum(a_norm_sq - energy, 0.0)
@@ -316,7 +333,7 @@ def rsvd_adaptive(
                                    a.dtype)
         q_blk = _grow_basis_block(a, q_mat, omega_new, q)
         q_mat = jnp.concatenate([q_mat, q_blk], axis=1)
-        b = jnp.concatenate([b, _mm(q_blk.T, a)], axis=0)
+        b = jnp.concatenate([b, _adaptive_project(a, q_blk)], axis=0)
         l += dl
 
 
