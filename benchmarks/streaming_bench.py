@@ -6,8 +6,9 @@ matmul FLOP/s in the sketch/power phases at 100k^2 rank-128):
 1. REAL host-streamed runs (`--real` sizes): A lives in host RAM and
    streams through the relay.  Reports wall time, sustained H2D
    bandwidth, and per-phase seconds.  In this environment the host relay
-   (~0.3-0.8 GB/s measured) — not the MXU — is the bound; a production
-   TPU host (PCIe/DMA tens of GB/s) moves the bound back to compute.
+   (~10-50 MB/s sustained, measured with forced fetches) — not the MXU —
+   is the bound; a production TPU host (PCIe/DMA tens of GB/s) moves the
+   bound back to compute.
 
 2. SYNTHESIZED-panel runs (`--synth` sizes): the full pipeline over an
    implicit sign-flipped-tiled operator (panel i = (+/-1)^i * base, base

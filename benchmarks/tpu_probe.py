@@ -30,6 +30,9 @@ def main():
         t0 = time.perf_counter()
         x = jax.device_put(host, dev)
         x.block_until_ready()
+        # force completion: block_until_ready can return before the
+        # transfer lands on relay transports — fetch one element back
+        np.asarray(jax.device_get(x[:1]))
         dt = time.perf_counter() - t0
         log(f"H2D {mb} MB: {dt:.3f}s = {mb / dt:.1f} MB/s")
         del x
