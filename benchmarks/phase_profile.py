@@ -111,6 +111,10 @@ def main():
         ("full eigh high half robust1", "eigh", "high", "half", "robust1"),
         ("full eigh default half robust1", "eigh", "default", "half",
          "robust1"),
+        ("full eigh_pallas highest half robust1", "eigh_pallas", "highest",
+         "half", "robust1"),
+        ("full eigh_pallas default half robust1", "eigh_pallas", "default",
+         "half", "robust1"),
     ]
     for name, method, prec, reorth, interior in variants:
         run = jax.jit(lambda x, om, method=method, prec=prec, reorth=reorth,
@@ -144,6 +148,15 @@ def main():
     g_small = b_wide @ b_wide.T
     ee(g_small)
     bench(f"eigh only ({l}x{l})", ee, (g_small,))
+
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.pallas_kernels import (
+        eigh_small,
+    )
+
+    for sweeps in (5, 8):
+        ep = jax.jit(lambda g, sw=sweeps: eigh_small(g, sweeps=sw))
+        ep(g_small)
+        bench(f"eigh_small pallas sweeps={sweeps} ({l}x{l})", ep, (g_small,))
 
     gemm = jax.jit(lambda x, om: jnp.matmul(
         x, om, precision=jax.lax.Precision.HIGHEST))

@@ -41,6 +41,11 @@ class SVDMethod(enum.Enum):
     # small-side Gram (accuracy ~sqrt(eps) for trailing singular values —
     # fine for rSVD tails where the spectrum is truncated anyway).
     GramEigh = "eigh"
+    # Same Gram route but the eigh runs as ONE Pallas kernel launch
+    # (linalg/pallas_kernels.eigh_small) instead of XLA's multi-kernel
+    # tridiagonalization — trades ~f32-eps accuracy for a single-dispatch
+    # tail on latency-bound pipelines.
+    GramEighPallas = "eigh_pallas"
 
     @classmethod
     def parse(cls, value) -> "SVDMethod":
@@ -49,19 +54,22 @@ class SVDMethod(enum.Enum):
         return cls(str(value).lower())
 
 
-def _gram_eigh_svd(a):
+def _gram_eigh_svd(a, eigh_fn=jnp.linalg.eigh):
     """SVD via eigendecomposition of the small-side Gram matrix: a single
-    batched-friendly eigh + one GEMM — minimal sequential depth on TPU."""
+    batched-friendly eigh + one GEMM — minimal sequential depth on TPU.
+
+    ``eigh_fn`` must follow the ``jnp.linalg.eigh`` contract (ascending
+    eigenvalues, eigenvectors in columns)."""
     m, n = a.shape
     dtype = a.dtype
     if dtype in (jnp.bfloat16, jnp.float16):
         # no low-precision eigh kernel; factor in f32, return input dtype
-        u, s, v = _gram_eigh_svd(a.astype(jnp.float32))
+        u, s, v = _gram_eigh_svd(a.astype(jnp.float32), eigh_fn)
         return u.astype(dtype), s.astype(dtype), v.astype(dtype)
     if m <= n:
         g = jnp.matmul(a, a.T, preferred_element_type=dtype,
                        precision=jax.lax.Precision.HIGHEST)
-        lam, u = jnp.linalg.eigh(g)           # ascending
+        lam, u = eigh_fn(g)                   # ascending
         lam = jnp.maximum(lam[::-1], 0.0)
         u = u[:, ::-1]
         s = jnp.sqrt(lam)
@@ -70,7 +78,7 @@ def _gram_eigh_svd(a):
                        precision=jax.lax.Precision.HIGHEST) / safe[None, :]
         v = jnp.where(s[None, :] > 0, v, 0.0)
         return u, s, v
-    v, s, u = _gram_eigh_svd(a.T)
+    v, s, u = _gram_eigh_svd(a.T, eigh_fn)
     return u, s, v
 
 
@@ -97,6 +105,12 @@ def svd(
         u, s, v = res.u, res.s, res.v
     elif method is SVDMethod.GramEigh:
         u, s, v = _gram_eigh_svd(a)
+    elif method is SVDMethod.GramEighPallas:
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.pallas_kernels import (
+            eigh_small,
+        )
+
+        u, s, v = _gram_eigh_svd(a, eigh_small)
     else:  # pragma: no cover
         raise ValueError(method)
     if r > 0:

@@ -267,6 +267,25 @@ def _predict_rank(s64: np.ndarray, a_norm_sq: float, target_sq: float,
     return min(k_cap, 2 * l)
 
 
+def adaptive_work_ratio(m: int, n: int, block_sizes, q: int) -> float:
+    """GEMM-work ratio of an incremental adaptive run over the single
+    right-sized run it converged to: (sum of per-block pipeline FLOPs +
+    deflation projections) / flops(final l).  The VERDICT acceptance bar
+    for the incremental scheme is ~<= 1.3x for decaying spectra."""
+    from rsvd_kamaneh_raganato_terrana_tpu.core.profiling import rsvd_flops
+
+    total = 0.0
+    l_prev = 0
+    for dl in block_sizes:
+        total += rsvd_flops(m, n, dl, q)
+        if l_prev:
+            # deflation (I - QQ^T) applied q+2 times per grown block:
+            # two GEMMs of 2*m*l_prev*dl each per application
+            total += (q + 2) * 2 * (2.0 * m * l_prev * dl)
+        l_prev += dl
+    return total / rsvd_flops(m, n, l_prev, q)
+
+
 def rsvd_adaptive(
     a,
     tol: float,
@@ -275,11 +294,14 @@ def rsvd_adaptive(
     q: int = 2,
     method: SVDMethod | str = "eigh",
     seed: int = 0,
+    return_stats: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, int]:
     """Adaptive-rank rSVD: the smallest rank k (within sketch-growth
     granularity) with ||A - A_k||_F <= tol ||A||_F.
 
-    Returns (U[:, :k], s[:k], V[:, :k], k).  The error estimate is free:
+    Returns (U[:, :k], s[:k], V[:, :k], k) — plus a stats dict
+    (block_sizes, rounds, work_ratio vs a single right-sized run) when
+    ``return_stats`` is set.  The error estimate is free:
     for the projection A_l = Q Q^T A,
     ||A - A_l||_F^2 = ||A||_F^2 - sum_i s_i^2 (Pythagoras), so each round
     reads the energy off the computed spectrum without touching A again.
@@ -315,6 +337,7 @@ def rsvd_adaptive(
     omega = generate_omega(seed, a.shape[1], l, a.dtype)
     q_mat, b = _adaptive_init(a, omega, q)           # m x l, l x n
     round_no = 0
+    blocks = [l]
     method_v = SVDMethod.parse(method).value
     while True:
         u_t, s, v = _adaptive_svd(b, method_v)
@@ -325,7 +348,17 @@ def rsvd_adaptive(
         if ok.size or l >= k_cap:
             k = int(ok[0]) + 1 if ok.size else int(s.shape[0])
             u = _mm(q_mat, u_t)
-            return u[:, :k], s[:k], v[:, :k], k
+            out = (u[:, :k], s[:k], v[:, :k], k)
+            if return_stats:
+                m_rows = a.shape[0]
+                stats = {
+                    "block_sizes": tuple(blocks),
+                    "rounds": round_no,
+                    "work_ratio": adaptive_work_ratio(
+                        m_rows, a.shape[1], blocks, q),
+                }
+                return out + (stats,)
+            return out
         l_next = _predict_rank(s64, a_norm_sq, target_sq, l, k_cap)
         dl = max(l_next - l, 1)
         round_no += 1
@@ -335,6 +368,7 @@ def rsvd_adaptive(
         q_mat = jnp.concatenate([q_mat, q_blk], axis=1)
         b = jnp.concatenate([b, _adaptive_project(a, q_blk)], axis=0)
         l += dl
+        blocks.append(dl)
 
 
 def reconstruct(u, s, v):

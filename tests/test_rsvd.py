@@ -119,6 +119,21 @@ def test_generate_omega_shape_and_determinism():
     assert 0.8 < float(o1.std()) < 1.2
 
 
+def test_rsvd_eigh_pallas_tail_matches_eigh(rng):
+    """The single-kernel Pallas eigh tail (method='eigh_pallas') must give
+    the same factorization as the XLA-eigh Gram tail (interpret mode off
+    TPU)."""
+    a = rng.standard_normal((96, 64)) * np.logspace(0, -4, 64)[None, :]
+    a = jnp.asarray(a)
+    u_r, s_r, v_r = rsvd(a, k=16, p=8, q=2, method="eigh", seed=3)
+    u_p, s_p, v_p = rsvd(a, k=16, p=8, q=2, method="eigh_pallas", seed=3)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r),
+                               rtol=1e-4, atol=1e-6)
+    rec_r = (np.asarray(u_r) * np.asarray(s_r)) @ np.asarray(v_r).T
+    rec_p = (np.asarray(u_p) * np.asarray(s_p)) @ np.asarray(v_p).T
+    np.testing.assert_allclose(rec_p, rec_r, rtol=0, atol=1e-4)
+
+
 def test_rsvd_bfloat16_end_to_end(rng):
     """bf16 inputs run the whole pipeline in bf16 (dtype-agnostic library)
     with commensurate accuracy — the serving-throughput mode."""
