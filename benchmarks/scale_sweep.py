@@ -46,21 +46,27 @@ def main():
         for k in (int(r) for r in args.ranks.split(",")):
             l = min(k + 16, n)
 
-            def run(x, k=k):
+            def run(x, seed, k=k):
                 return rsvd(x, k=k, p=16, q=args.q, method=args.method,
                             sketch=args.sketch, precision=args.precision,
                             reorth=args.reorth,
-                            interior_qr=args.interior_qr)
+                            interior_qr=args.interior_qr, seed=seed)
 
-            out = run(a)
+            out = run(a, 0)
             jax.block_until_ready(out)
             np.asarray(out[1])
+
+            # distinct traced seed per dispatch: identical (program, input)
+            # pairs can be deduplicated by caching transports, yielding
+            # impossible throughput (benchmarks/loop_truth.py is the
+            # dispatch-cache-immune calibration reference for this file)
+            seq = iter(range(1, 1 << 20))
 
             def chain(reps):
                 t0 = time.perf_counter()
                 o = None
                 for _ in range(reps):
-                    o = run(a)
+                    o = run(a, next(seq))
                 jax.block_until_ready(o)
                 np.asarray(o[1])
                 return time.perf_counter() - t0

@@ -69,11 +69,24 @@ def _chol_maybe_shifted(g, n_rows: int):
 
 
 def _solve_right_upper(a, r):
-    """Return A @ R^{-1} for upper-triangular R via a triangular solve
-    (never forms the inverse)."""
-    return jax.lax.linalg.triangular_solve(
-        r, a, left_side=False, lower=False, transpose_a=False
+    """Return A @ R^{-1} for upper-triangular R: invert the replicated
+    l x l factor with one tiny triangular solve, then apply it as a
+    row-partitioned GEMM.
+
+    The direct m x l trsm is (a) sequential back-substitution on TPU — it
+    cannot use the MXU — and (b) un-partitionable by XLA's SPMD pass, so
+    on a row-sharded mesh it all-gathers the full m x l panel per QR
+    (measured: the dominant non-ring traffic of the sharded driver).  The
+    explicit-inverse form is the standard distributed-CholeskyQR
+    formulation; its error is the same O(eps cond(R)) as the solve, and
+    the second CholeskyQR pass restores O(eps) orthogonality."""
+    l = r.shape[-1]
+    r_inv = jax.lax.linalg.triangular_solve(
+        r, jnp.eye(l, dtype=r.dtype), left_side=True, lower=False,
+        transpose_a=False,
     )
+    return jnp.matmul(a, r_inv, precision=DOT_PRECISION,
+                      preferred_element_type=a.dtype)
 
 
 def _cholesky_qr_flagged(a):

@@ -276,3 +276,56 @@ def sketch_ring_pipelined(mesh: Mesh, a, omega, axis: str = ROWS_AXIS):
         local, mesh=mesh, in_specs=(_row_specs(axis), _row_specs(axis)),
         out_specs=_row_specs(axis),
     )(a, omega)
+
+
+def power_zt_ring(mesh: Mesh, a, q_mat, axis: str = ROWS_AXIS):
+    """Z = A^T @ Q as a ring reduce-scatter — the power-iteration Z pass
+    companion of :func:`sketch_ring_pipelined` for bandwidth-limited
+    (DCN) meshes.
+
+    A (m, n) and Q (m, l) are row-sharded over ``axis``; Z (n, l) comes
+    back row-sharded.  Every device owns the full partial contribution
+    A_blk^T Q_blk (n x l) mathematically, but instead of a psum /
+    psum_scatter over the whole n x l block (one bulk collective, the
+    XLA default), the partial sums for successive n/P row panels of Z
+    rotate around the device ring: per step each device adds its local
+    panel GEMM into the accumulator it just received and forwards it —
+    n*l/P elements per hop, overlapping the next panel's GEMM.  After
+    P-1 hops the accumulator for panel j lands fully reduced on device j.
+    Replaces the reference's Gatherv-to-root + Bcast resynchronization
+    (src/PM.cpp:60-68) with neighbor-only traffic.
+    """
+    n_dev = 1
+    for nme, s in zip(mesh.axis_names, mesh.devices.shape):
+        if nme == axis:
+            n_dev *= s
+    n = a.shape[1]
+    if n % n_dev:
+        raise ValueError(f"cols={n} not divisible by {n_dev} ring devices")
+    n_per = n // n_dev
+
+    def local(a_blk, q_blk):
+        p = jax.lax.axis_index(axis)
+        # forward ring: the accumulator born on device j+1 (panel j) hops
+        # p0+1, ..., and lands on device j after P-1 steps, fully reduced
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def partial_panel(step):
+            # at step s device p contributes to panel (p - s - 1) mod P
+            j = (p - step - 1) % n_dev
+            start = (j * n_per).astype(jnp.int32)
+            cols = jax.lax.dynamic_slice(
+                a_blk, (jnp.int32(0), start), (a_blk.shape[0], n_per))
+            return jnp.matmul(cols.T, q_blk, precision=DOT_PRECISION)
+
+        def body(step, acc):
+            acc = jax.lax.ppermute(acc, axis, perm)
+            return acc + partial_panel(step)
+
+        acc0 = partial_panel(0)
+        return jax.lax.fori_loop(1, n_dev, body, acc0)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(_row_specs(axis), _row_specs(axis)),
+        out_specs=_row_specs(axis),
+    )(a, q_mat)

@@ -11,6 +11,9 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     rsvd_with_omega,
     subspace_iteration,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.ring import (  # noqa: F401
+    rsvd_ring,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (  # noqa: F401
     SynthesizedMatrix,
     rsvd_streaming,

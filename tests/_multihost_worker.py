@@ -85,8 +85,27 @@ def main():
     # rank-k subspace captured: leading singular values must match SVD
     np.testing.assert_allclose(s_local[:4], s0[:4], rtol=2e-2)
 
+    # ring-collective driver across the host boundary: the DCN scenario
+    # rsvd_ring exists for (neighbor-only traffic for the big operands)
+    from jax.sharding import PartitionSpec as P
+
+    from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import make_mesh
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.ring import rsvd_ring
+
+    ring_mesh = make_mesh((nproc * 4,), ("rows",), jax.devices())
+    a_ring = jax.make_array_from_callback(
+        (m, n), NamedSharding(ring_mesh, P("rows", None)),
+        lambda idx: a_np[idx])
+    u_r, s_r, v_r = rsvd_ring(ring_mesh, a_ring, k=k, p=p, q=1,
+                              method="eigh")
+    jax.block_until_ready((u_r, s_r, v_r))
+    s_ring = np.asarray(jax.device_get(s_r.addressable_shards[0].data)) \
+        if not s_r.is_fully_replicated else np.asarray(s_r)
+    np.testing.assert_allclose(s_ring[:4], s0[:4], rtol=2e-2)
+
     print(f"worker {pid}: ok mesh={mesh.devices.shape} "
-          f"collectives={found} s0={s_local[0]:.4f}", flush=True)
+          f"collectives={found} s0={s_local[0]:.4f} "
+          f"ring_s0={s_ring[0]:.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -74,3 +74,36 @@ def test_sharded_gram_is_partitioned(mesh8, rng):
     assert "all-reduce" in text
     # the local dot operates on the 64-row shard, not the full 512
     assert "512,32" not in text.replace(" ", "") or "dynamic" in text
+
+
+def test_rsvd_ring_matches_plain(mesh8, rng):
+    """The ring-collective driver must match the plain (XLA-collective)
+    driver's factorization: same Omega draw (counter-based threefry), so
+    singular values agree to fp accumulation order."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd, rsvd_ring
+
+    a_np = rng.standard_normal((256, 160)).astype(np.float64)
+    u, s, v = rsvd_ring(mesh8, jnp.asarray(a_np), k=12, p=4, q=2,
+                        method="eigh", seed=5)
+    u0, s0, v0 = rsvd(jnp.asarray(a_np), k=12, p=4, q=2, method="eigh",
+                      seed=5)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s0), rtol=1e-9)
+    rec = np.asarray((u * s[None, :]) @ v.T)
+    rec0 = np.asarray((u0 * s0[None, :]) @ v0.T)
+    np.testing.assert_allclose(rec, rec0, atol=1e-8)
+
+
+def test_rsvd_ring_collective_structure(mesh8, rng):
+    """Large operands move by collective-permute only; the only all-reduce
+    traffic is the l x l QR Gram (and no all-gather of A-sized blocks)."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.ring import rsvd_ring
+
+    a = shard_rows(jnp.asarray(rng.standard_normal((256, 160))), mesh8)
+    # qr_method='cholqr2': the 'robust' default compiles a Householder
+    # fallback branch (gather-based geqrf) into lax.cond — present in the
+    # HLO text even though it only executes on degradation
+    text = _compiled_text(
+        lambda x: rsvd_ring(mesh8, x, k=12, p=4, q=1, method="eigh",
+                            qr_method="cholqr2"), a)
+    assert "collective-permute" in text
+    assert "all-gather" not in text

@@ -147,3 +147,38 @@ def test_sketch_ring_pipelined_matches_dense(mesh8, rng):
     )
     assert "collective-permute" in hlo
     assert "all-gather" not in hlo
+
+
+def test_power_zt_ring_matches_dense(mesh8, rng):
+    """Ring reduce-scatter Z = A^T Q == plain dense product, comes back
+    row-sharded, and compiles to collective-permute only (no all-reduce /
+    reduce-scatter bulk collective)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import (
+        power_zt_ring,
+    )
+
+    m, n, l = 64, 80, 12
+    a = rng.standard_normal((m, n))
+    q = rng.standard_normal((m, l))
+    a_sh = jax.device_put(jnp.asarray(a),
+                          NamedSharding(mesh8, P("rows", None)))
+    q_sh = jax.device_put(jnp.asarray(q),
+                          NamedSharding(mesh8, P("rows", None)))
+    z = power_zt_ring(mesh8, a_sh, q_sh)
+    assert z.shape == (n, l)
+    np.testing.assert_allclose(np.asarray(z), a.T @ q, rtol=1e-10,
+                               atol=1e-10)
+    # output stays row-sharded for the next ring sketch pass
+    assert z.sharding.spec == P("rows", None)
+
+    hlo = (
+        jax.jit(lambda x, qq: power_zt_ring(mesh8, x, qq))
+        .lower(a_sh, q_sh).compile().as_text()
+    )
+    assert "collective-permute" in hlo
+    assert "all-reduce" not in hlo
+    assert "reduce-scatter" not in hlo
+    assert "all-gather" not in hlo

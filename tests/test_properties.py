@@ -14,6 +14,10 @@ from rsvd_kamaneh_raganato_terrana_tpu.linalg.jacobi import (
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import svd
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd import reconstruction_error, rsvd
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
+    rsvd_streaming,
+    rsvd_streaming_onepass,
+)
 
 COMMON = dict(deadline=None, max_examples=8, print_blob=True)
 
@@ -79,6 +83,52 @@ def test_rsvd_near_optimal(seed, r, k_extra):
     s_np = np.linalg.svd(a, compute_uv=False)
     opt = float(np.sqrt((s_np[k:] ** 2).sum()))
     assert err <= opt * 1.02 + 1e-8 * s_np[0]
+
+
+@given(seed=st.integers(0, 2**16), m=st.integers(20, 70),
+       n=st.integers(16, 50), panel_rows=st.sampled_from([7, 16, 33]),
+       r=st.integers(1, 5))
+@settings(**COMMON)
+def test_streaming_driver_contract(seed, m, n, panel_rows, r):
+    """Streamed rSVD must (a) be invariant to the panel decomposition and
+    (b) recover an exact rank-r matrix to near machine precision for any
+    shape — the multi-pass driver's core contract."""
+    rng = np.random.default_rng(seed)
+    a = (rng.standard_normal((m, r)) @ rng.standard_normal((r, n))).astype(
+        np.float32)
+    k = min(r + 4, min(m, n))
+    u, s, v, = rsvd_streaming(a, k=k, p=4, q=1, method="eigh",
+                              panel_rows=panel_rows, seed=seed % 97)
+    scale = max(float(np.linalg.norm(a)), 1.0)
+    rec = np.asarray((u * s[None, :]) @ v.T)
+    assert np.linalg.norm(a - rec) < 3e-5 * scale
+    # same problem, different panel split: identical spectrum up to fp
+    u2, s2, v2 = rsvd_streaming(a, k=k, p=4, q=1, method="eigh",
+                                panel_rows=m, seed=seed % 97)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2),
+                               rtol=2e-4, atol=1e-5 * scale)
+
+
+@given(seed=st.integers(0, 2**16), m=st.integers(24, 70),
+       n=st.integers(20, 50), panel_rows=st.sampled_from([9, 21]),
+       r=st.integers(1, 4))
+@settings(**COMMON)
+def test_streaming_onepass_contract(seed, m, n, panel_rows, r):
+    """One-pass (two-sided sketch) driver: exact rank-r recovery and panel
+    invariance — with only a single streamed pass over A."""
+    rng = np.random.default_rng(seed)
+    a = (rng.standard_normal((m, r)) @ rng.standard_normal((r, n))).astype(
+        np.float32)
+    k = min(r + 4, min(m, n) - 1)
+    u, s, v = rsvd_streaming_onepass(a, k=k, p=4, panel_rows=panel_rows,
+                                     seed=seed % 89)
+    scale = max(float(np.linalg.norm(a)), 1.0)
+    rec = np.asarray((u * s[None, :]) @ v.T)
+    assert np.linalg.norm(a - rec) < 5e-5 * scale
+    u2, s2, v2 = rsvd_streaming_onepass(a, k=k, p=4, panel_rows=m,
+                                        seed=seed % 89)
+    np.testing.assert_allclose(np.asarray(s)[:r], np.asarray(s2)[:r],
+                               rtol=2e-4, atol=1e-5 * scale)
 
 
 @given(seed=st.integers(0, 2**16), n1=st.integers(3, 12), n2=st.integers(1, 8))
