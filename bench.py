@@ -95,17 +95,24 @@ def main():
     l = K + P
 
     @jax.jit
-    def run(x):
-        omega = generate_omega(0, N, l, x.dtype)
+    def run(x, seed):
+        # seed is a traced argument: every timed dispatch below uses a
+        # fresh one, so no relay/transport layer can deduplicate repeated
+        # (program, input) pairs into impossible throughput numbers
+        # (calibrated against benchmarks/loop_truth.py, which runs the
+        # whole chain inside one fori_loop dispatch).
+        omega = generate_omega(seed, N, l, x.dtype)
         return rsvd_with_omega(x, omega, q=Q, k=K, method=METHOD,
                                precision=PRECISION, reorth=REORTH,
                                interior_qr=INTERIOR)
 
     log("compiling + first run")
     t0 = time.perf_counter()
-    u, s, v = run(a)
+    u, s, v = run(a, 0)
     s_host = np.asarray(s)  # forces completion
     log(f"compile+run {time.perf_counter() - t0:.2f}s; s[0]={s_host[0]:.3f}")
+
+    seq = iter(range(1, 1 << 20))
 
     def timed_chain(n):
         """n back-to-back dispatches, one sync at the end.  Single-shot
@@ -115,7 +122,7 @@ def main():
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
-            out = run(a)
+            out = run(a, next(seq))
         jax.block_until_ready(out)
         np.asarray(out[1])
         return time.perf_counter() - t0

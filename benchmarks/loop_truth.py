@@ -44,7 +44,9 @@ def main():
     sizes = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1
                               else "8192,16384").split(",")]
     sketches = (sys.argv[2] if len(sys.argv) > 2 else "gaussian,fused").split(",")
-    k, p, q = 128, 16, 2
+    k = int(os.environ.get("LT_K", "128"))
+    p = int(os.environ.get("LT_P", "16"))
+    q = int(os.environ.get("LT_Q", "2"))
     precision = os.environ.get("LT_PRECISION", "high")
     prec = _PRECISIONS[precision]
     r_small, r_large = 2, 8

@@ -32,11 +32,17 @@ def chain_time(fn, a, n_small=2, n_large=8, reps=2):
     import jax
     import jax.numpy as jnp
 
+    # two distinct inputs cycled through the chain: identical
+    # (program, input) re-dispatches can be deduplicated by caching
+    # transports (see benchmarks/loop_truth.py); scaling preserves the
+    # spectrum shape so the engine does identical work
+    mats = [a, a * jnp.asarray(1.0001, a.dtype)]
+
     def chain(n):
         t0 = time.perf_counter()
         out = None
-        for _ in range(n):
-            out = fn(a)
+        for i in range(n):
+            out = fn(mats[i % 2])
         # 1-element fetch: block_until_ready under-reports via the relay
         np.asarray(jax.device_get(jnp.ravel(out[1])[:1]))
         return time.perf_counter() - t0
