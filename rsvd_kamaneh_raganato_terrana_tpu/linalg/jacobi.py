@@ -389,6 +389,20 @@ def _block_jacobi_core(a, tol, max_sweeps: int, block_size: int):
     return u, s, v, sweeps
 
 
+def _auto_apply(n: int) -> str:
+    """Measured engine crossover (bench_results/svd_engines.csv, TPU
+    v5-lite, spectra with cond 1..1e6): GEMM rotation rounds win only
+    while the n x n rotation-assembly GEMMs stay tiny; the norm-presorted
+    block tournament overtakes the scatter engine from n ~ 512
+    (512: 176 vs 192 ms; 1024: 1049 vs 1079; 2048: 5413 vs 8006 ms) at
+    the same accuracy order."""
+    if n <= 256:
+        return "gemm"
+    if n <= 512:
+        return "scatter"
+    return "block"
+
+
 def jacobi_svd(
     a,
     tol: Optional[float] = None,
@@ -403,15 +417,17 @@ def jacobi_svd(
     (include/SVD_class.hpp:35-71): U m x k, s descending, V n x k with
     k = min(m, n).  ``apply='gemm'`` is the ParallelJacobi-style blocked
     path (rotation rounds as MXU GEMMs); ``'scatter'`` the VPU path;
-    ``'auto'`` picks by size.
+    ``'auto'`` picks by measured crossover (thresholds set from
+    bench_results/svd_engines.csv — see the dispatch below).
 
     Tall/wide inputs are preconditioned with a thin QR so sweeps run on the
     square min-dim factor, like the reference's HouseholderQR precondition
     (SVD_class.hpp:110-123).  ``apply='block'`` uses the block tournament
     (`_block_jacobi_core`) — nb-1 rounds of vmapped 2b x 2b eigh + batched
-    GEMMs followed by a gated scalar polish; opt-in: the pair-Gram eigh
-    cannot resolve small-singular-value subspaces, so for wide-dynamic-
-    range spectra the polish dominates and plain ``scatter`` is faster.
+    GEMMs followed by a gated scalar polish.  Its QR precondition + de
+    Rijk norm presorting make it accurate across wide-dynamic-range
+    spectra (cond 1e6 measured at the same error order as scatter), so
+    'auto' picks it for large n where its rounds-as-GEMMs structure wins.
     """
     a = jnp.asarray(a)
     m, n = a.shape
@@ -424,7 +440,7 @@ def jacobi_svd(
     if tol is None:
         tol = 30.0 * float(jnp.finfo(dtype).eps)
     if apply == "auto":
-        apply = "gemm" if n <= 256 else "scatter"
+        apply = _auto_apply(n)
 
     def core(x):
         if apply == "block":

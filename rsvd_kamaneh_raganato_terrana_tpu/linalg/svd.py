@@ -46,6 +46,15 @@ class SVDMethod(enum.Enum):
     # tridiagonalization — trades ~f32-eps accuracy for a single-dispatch
     # tail on latency-bound pipelines.
     GramEighPallas = "eigh_pallas"
+    # XLA's built-in SVD (QDWH-based on TPU — polar decomposition via
+    # MXU GEMM iterations).  The measured production engine for full
+    # decompositions: bench_results/svd_engines.csv shows it 6-100x
+    # faster than the Jacobi engines at n >= 512 with the best accuracy
+    # of any engine at every condition number tested.
+    XLA = "xla"
+    # Data-driven dispatch (see svd() for the policy and the table that
+    # set it).
+    Auto = "auto"
 
     @classmethod
     def parse(cls, value) -> "SVDMethod":
@@ -89,15 +98,36 @@ def svd(
     **kwargs,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Compute A = U diag(s) V^T; truncate to rank ``r`` if r > 0
-    (reference semantics: r=0 means full min(m,n) decomposition)."""
+    (reference semantics: r=0 means full min(m,n) decomposition).
+
+    ``method='auto'`` is the data-driven production dispatch
+    (bench_results/svd_engines.csv, measured on TPU v5-lite over
+    spectra with condition number 1..1e6): tournament Jacobi via GEMM
+    rounds for tiny factors (single fused program, exact to f64-level),
+    XLA's QDWH SVD above — it is both the fastest and the most accurate
+    engine at every n >= 512 tested (e.g. n=1024 cond 1e6: 46 ms vs
+    1049 ms block Jacobi, with 15x better sigma accuracy).  The Jacobi/
+    Power engines remain for reference parity (SVD_class.hpp:28-97
+    dispatches the same names).
+    """
     method = SVDMethod.parse(method)
     a = jnp.asarray(a)
-    if method is SVDMethod.Jacobi:
+    if method is SVDMethod.Auto:
+        method = (SVDMethod.Jacobi if min(a.shape) <= 256
+                  else SVDMethod.XLA)
+        if method is SVDMethod.Jacobi:
+            u, s, v = jacobi_svd(a, apply="auto", **kwargs)
+            if r > 0:
+                u, s, v = u[:, :r], s[:r], v[:, :r]
+            return u, s, v
+    if method is SVDMethod.XLA:
+        u, s, vt = jnp.linalg.svd(a, full_matrices=False, **kwargs)
+        v = vt.T
+    elif method is SVDMethod.Jacobi:
         u, s, v = jacobi_svd(a, apply="scatter", **kwargs)
     elif method is SVDMethod.ParallelJacobi:
-        # GEMM rotation rounds for small n, vectorized scatter above
-        # (correct for any spectrum; the block tournament is opt-in via
-        # jacobi_svd(apply='block') — see its docstring)
+        # measured crossover: GEMM rotation rounds for small n, scatter
+        # to 512, block tournament above (see jacobi_svd's dispatch)
         u, s, v = jacobi_svd(a, apply="auto", **kwargs)
     elif method is SVDMethod.Power:
         k = r if r > 0 else min(a.shape)

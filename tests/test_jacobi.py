@@ -88,12 +88,23 @@ def test_block_apply_wide_dynamic_range(rng):
 
 
 def test_auto_large_n_uses_correct_engine(rng):
-    """auto selects the scatter engine above n=256 (correct for any
-    spectrum; block is opt-in)."""
+    """auto dispatch stays correct for a wide input (transposed, then the
+    min-dim = 40 factor selects the gemm engine)."""
     a = rng.standard_normal((40, 300))  # wide: transposed internally
     u, s, v = jacobi_svd(jnp.asarray(a), apply="auto")
     s_np = np.linalg.svd(a, compute_uv=False)
     np.testing.assert_allclose(np.asarray(s), s_np, atol=1e-10 * s_np[0])
+
+
+def test_auto_thresholds_match_measured_table():
+    """The auto policy encodes the committed svd_engines.csv crossovers."""
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.jacobi import _auto_apply
+
+    assert _auto_apply(64) == "gemm"
+    assert _auto_apply(256) == "gemm"
+    assert _auto_apply(400) == "scatter"
+    assert _auto_apply(513) == "block"
+    assert _auto_apply(4096) == "block"
 
 
 def test_block_apply_rank_deficient(rng):

@@ -109,6 +109,21 @@ def test_svd_engine_class(rng):
                                    rtol=1e-5)
 
 
+def test_svd_xla_and_auto_methods(rng):
+    """The production engines added from the svd_engines.csv study:
+    'xla' (QDWH SVD) and the size-dispatched 'auto' must satisfy the
+    standard (U, s, V) contract in standard V orientation."""
+    for shape in ((40, 25), (25, 40), (300, 280)):
+        a = rng.standard_normal(shape)
+        s_np = np.linalg.svd(a, compute_uv=False)
+        for method in ("xla", "auto"):
+            u, s, v = svd(jnp.asarray(a), method)
+            np.testing.assert_allclose(np.asarray(s), s_np,
+                                       atol=1e-9 * s_np[0])
+            rec = np.asarray((u * s[None, :]) @ v.T)
+            assert np.linalg.norm(rec - a) < 1e-9 * s_np[0] * max(shape)
+
+
 def test_generate_omega_shape_and_determinism():
     o1 = generate_omega(0, 50, 16, jnp.float64)
     o2 = generate_omega(0, 50, 16, jnp.float64)
