@@ -28,13 +28,19 @@ M = int(os.environ.get("BENCH_M", 4096))
 N = int(os.environ.get("BENCH_N", 4096))
 K = int(os.environ.get("BENCH_K", 64))
 P, Q = 16, 2
-# 'high' = 3-pass bf16 stage-A GEMMs: measured reconstruction error is
-# identical to 'highest' (f32 parity) to 6 digits at this shape — the
-# rank-truncation error dominates GEMM rounding by orders of magnitude
-# (bench_results/phase_profile_4096x4096_k64.csv) — at ~1.7x the
-# throughput.  The err_ratio_vs_numpy field printed below verifies parity
-# on every run; BENCH_PRECISION=highest restores the 6-pass mode.
-PRECISION = os.environ.get("BENCH_PRECISION", "high")
+# Mixed-precision range finder: the stage-A GEMMs (sketch + power
+# iterations) run at 'default' (single-pass bf16).  bf16 rounding there
+# only perturbs the *test matrix* — equivalent to drawing a slightly
+# different random Omega — while every orthonormalization Gram and the
+# tail factorization stay at HIGHEST, so the factors' accuracy is set by
+# the rank-truncation error, which dominates GEMM rounding by orders of
+# magnitude.  Measured reconstruction error is identical to 'highest'
+# (f32) to 6 significant digits at this shape at ~2.2x the throughput
+# (bench_results/phase_profile_4096x4096_k64.csv: 0.67 ms default /
+# 0.81 ms high / 1.23 ms highest).  The err_ratio_vs_numpy field printed
+# below verifies parity against a full-f32 BLAS pipeline on every run;
+# BENCH_PRECISION={high,highest} restores the 3-/6-pass modes.
+PRECISION = os.environ.get("BENCH_PRECISION", "default")
 # 'eigh' is the TPU-native Gram-eigendecomposition tail: identical
 # reconstruction error to the jacobi tail (verified in-bench), one third
 # of the pipeline latency.  The reference-parity engines remain available
