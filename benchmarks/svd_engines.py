@@ -10,9 +10,13 @@ Accuracy columns are vs the f64 NumPy oracle of the same matrix:
 max relative sigma error over the leading half, U orthogonality, and
 relative reconstruction error (all computed on host in f64).
 
-Writes bench_results/svd_engines.csv.
+Appends to bench_results/svd_engines.csv incrementally (one row per
+completed cell, header written if absent), so a TPU device fault mid-run
+loses nothing; re-run with --sizes/--conds narrowed to fill the missing
+cells in a fresh process.
 
 Usage: python benchmarks/svd_engines.py [--sizes 512,1024,2048,4096]
+                                        [--conds 1,1e3,1e6]
 """
 
 import argparse
@@ -67,7 +71,21 @@ def main():
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
-    rows = []
+
+    fields = ["n", "cond", "engine", "ms", "rel_sigma_err_tophalf",
+              "orth_err", "recon_err"]
+    os.makedirs("bench_results", exist_ok=True)
+    path = "bench_results/svd_engines.csv"
+    need_header = not os.path.exists(path) or os.path.getsize(path) == 0
+
+    def emit(row):
+        nonlocal need_header
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            if need_header:
+                w.writeheader()
+                need_header = False
+            w.writerow(row)
 
     engines = {
         "jacobi_gemm": lambda x: jacobi_svd(x, apply="gemm"),
@@ -99,10 +117,10 @@ def main():
                 try:
                     out = jf(a)
                     jax.block_until_ready(out)
+                    t = chain_time(jf, a)
                 except Exception as e:  # noqa: BLE001
                     log(f"n={n} cond={cond:g} {name}: FAILED {e}")
                     continue
-                t = chain_time(jf, a)
                 u, s, v = (np.asarray(x, np.float64) for x in out)
                 assert s[0] >= s[-1], (
                     f"{name} returned ascending singular values; metrics "
@@ -126,15 +144,10 @@ def main():
                     "orth_err": f"{orth:.3e}",
                     "recon_err": f"{rec_err:.3e}",
                 }
-                rows.append(row)
+                emit(row)
                 log(" ".join(f"{k}={val}" for k, val in row.items()))
 
-    os.makedirs("bench_results", exist_ok=True)
-    with open("bench_results/svd_engines.csv", "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
-    log("wrote bench_results/svd_engines.csv")
+    log(f"done; rows appended to {path}")
 
 
 if __name__ == "__main__":
