@@ -44,6 +44,12 @@ def main():
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((args.m, args.n)), dtype=jnp.float32)
     l = args.k + args.p
+    print(f"rsvd phase profile: {args.m}x{args.n} k={args.k} p={args.p} "
+          f"q={args.q} f32 on {jax.devices()[0]}")
+    print("phases below use the reference-parity configuration (jacobi "
+          "tail, full reorth, highest precision); the production "
+          "configuration is the last row.  Timing: dispatch-chain deltas "
+          "with distinct-input cycling (docs/ARCHITECTURE.md).")
 
     # Phase timings by dispatch-chain deltas (single-shot timing through
     # the TPU tunnel measures round-trip latency, not compute — see
@@ -98,6 +104,14 @@ def main():
     secs = chain_delta(full, (a,))
     gflops = rsvd_flops(args.m, args.n, l, args.q) / max(secs, 1e-12) / 1e9
     print(f"{'full rsvd':>16}: {secs * 1e3:10.3f} ms/iter  ({gflops:.1f} GFLOP/s)")
+
+    prod = jax.jit(lambda x: rsvd(x, k=args.k, p=args.p, q=args.q,
+                                  method="eigh", precision="default",
+                                  reorth="half", interior_qr="robust1"))
+    secs_p = chain_delta(prod, (a,))
+    gflops_p = rsvd_flops(args.m, args.n, l, args.q) / max(secs_p, 1e-12) / 1e9
+    print(f"{'full rsvd (production config)':>16}: {secs_p * 1e3:10.3f} "
+          f"ms/iter  ({gflops_p:.1f} GFLOP/s)")
 
     with trace(args.trace_dir):
         jax.block_until_ready(rsvd(a, k=args.k, p=args.p, q=args.q))
