@@ -29,17 +29,21 @@ N = int(os.environ.get("BENCH_N", 4096))
 K = int(os.environ.get("BENCH_K", 64))
 P, Q = 16, 2
 # Mixed-precision range finder: the stage-A GEMMs (sketch + power
-# iterations) run at 'default' (single-pass bf16).  bf16 rounding there
-# only perturbs the *test matrix* — equivalent to drawing a slightly
-# different random Omega — while every orthonormalization Gram and the
-# tail factorization stay at HIGHEST, so the factors' accuracy is set by
-# the rank-truncation error, which dominates GEMM rounding by orders of
-# magnitude.  Measured reconstruction error is identical to 'highest'
-# (f32) to 6 significant digits at this shape at ~2.2x the throughput
+# iterations + Q^T A projection) run at 'default' (single-pass bf16,
+# i.e. both operands rounded to bf16 with f32 accumulation), while every
+# orthonormalization Gram and the tail factorization stay at HIGHEST.
+# This puts a ~bf16-level floor (~1e-3 relative) under the achievable
+# reconstruction error; whenever the rank-truncation error sits above
+# that floor — every compression workload, and this benchmark, where
+# truncation keeps ~2% of the spectrum — the measured error is identical
+# to full-f32 'highest' to 6 significant digits at ~2.2x the throughput
 # (bench_results/phase_profile_4096x4096_k64.csv: 0.67 ms default /
-# 0.81 ms high / 1.23 ms highest).  The err_ratio_vs_numpy field printed
-# below verifies parity against a full-f32 BLAS pipeline on every run;
-# BENCH_PRECISION={high,highest} restores the 3-/6-pass modes.
+# 0.81 ms high / 1.23 ms highest).  For near-exactly-rank-k inputs whose
+# truncation error is below the bf16 floor, use BENCH_PRECISION=
+# {high,highest} (3-/6-pass modes, ~f32 floors).  The err_ratio_vs_numpy
+# field printed below verifies parity against a full-f32 BLAS pipeline
+# on every run, so a workload where 'default' is NOT free shows up as a
+# ratio > 1 rather than passing silently.
 PRECISION = os.environ.get("BENCH_PRECISION", "default")
 # 'eigh' is the TPU-native Gram-eigendecomposition tail: identical
 # reconstruction error to the jacobi tail (verified in-bench), one third

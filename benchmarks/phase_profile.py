@@ -14,7 +14,6 @@ Usage:  python benchmarks/phase_profile.py  [M N K]
 import csv
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -28,38 +27,9 @@ def log(msg):
     print(f"[phase] {msg}", file=sys.stderr, flush=True)
 
 
-def chain_time(fn, args_list, n_small=4, n_large=20, reps=3):
-    """Per-dispatch seconds from the slope between two chain lengths.
-    Each chain ends with a 1-element device->host fetch: block_until_ready
-    alone can under-report through the relay transport; the fetch RTT
-    cancels in the slope.
-
-    ``args_list`` holds >= 2 DISTINCT argument tuples that the chain
-    cycles through: repeated dispatch of an identical (program, input)
-    pair can be deduplicated by caching transports, producing impossible
-    throughput (observed 0.87 ms for a pipeline whose GEMM floor is
-    1.76 ms).  Calibrated against benchmarks/loop_truth.py."""
-    import jax
-    import jax.numpy as jnp
-
-    def force(out):
-        x = out
-        while isinstance(x, (tuple, list)):
-            x = x[-1]
-        np.asarray(jax.device_get(jnp.ravel(x)[:1]))
-
-    def chain(n):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(n):
-            out = fn(*args_list[i % len(args_list)])
-        force(out)
-        return time.perf_counter() - t0
-
-    chain(2)  # warm dispatch path
-    t_small = min(chain(n_small) for _ in range(reps))
-    t_large = min(chain(n_large) for _ in range(reps))
-    return max((t_large - t_small) / (n_large - n_small), 1e-9)
+from benchmarks._timing import chain_delta as chain_time  # noqa: E402
+# (shared dispatch-chain protocol — slope of two chain lengths, 1-element
+# forced fetch, distinct-input cycling; see benchmarks/_timing.py)
 
 
 def main():

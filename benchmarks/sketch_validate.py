@@ -74,7 +74,7 @@ def main():
             row = {"n": n, "k": k, "sketch": sketch, "precision": "high",
                    "ms_per_iter": round(per * 1e3, 3),
                    "gflops": round(gflops, 1),
-                   "recon_err": round(err, 2) if err else ""}
+                   "recon_err": round(err, 2) if err is not None else ""}
             rows.append(row)
             log(str(row))
         del a0, a1, mats

@@ -179,9 +179,9 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
     from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
     from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import _gram_eigh_svd
 
-    _PREC = {"highest": jax.lax.Precision.HIGHEST,
-             "high": jax.lax.Precision.HIGH,
-             "default": jax.lax.Precision.DEFAULT}
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+        _PRECISIONS as _PREC,
+    )
 
     tiles = max(1, round(size / panel_rows))
     m = n = tiles * panel_rows

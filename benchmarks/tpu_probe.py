@@ -64,10 +64,10 @@ def main():
     a = jax.random.normal(jax.random.PRNGKey(1), (8192, 8192), jnp.float32)
     b = jax.random.normal(jax.random.PRNGKey(2), (8192, 144), jnp.float32)
     a.block_until_ready(); b.block_until_ready()
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _PRECISIONS
+
     for prec in ("highest", "high", "default"):
-        p = {"highest": jax.lax.Precision.HIGHEST,
-             "high": jax.lax.Precision.HIGH,
-             "default": jax.lax.Precision.DEFAULT}[prec]
+        p = _PRECISIONS[prec]
 
         @jax.jit
         def mm(x, y, p=p):

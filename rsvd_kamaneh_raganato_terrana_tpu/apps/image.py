@@ -438,13 +438,16 @@ def compress_video(frames, k: int, p: int = 10, q: int = 1, seed: int = 0,
             stack, NamedSharding(mesh, P(mesh.axis_names[0])))
 
     @jax.jit
-    def run(fs):
-        # householder QR: under vmap the robust path's lax.cond runs both
-        # branches per frame anyway — see Image.compress()
+    def run(fs, om):
+        # omega is an argument, not a closure capture: a captured device
+        # array would serialize into the program sent to the (possibly
+        # remote) compiler (CLAUDE.md).  householder QR: under vmap the
+        # robust path's lax.cond runs both branches per frame anyway —
+        # see Image.compress()
         return jax.vmap(lambda f: rsvd_with_omega(
-            f, omega, q=q, k=k, qr_method="householder"))(fs)
+            f, om, q=q, k=k, qr_method="householder"))(fs)
 
-    u, s, v = run(stack)
+    u, s, v = run(stack, omega)
     return np.asarray(u), np.asarray(s), np.asarray(v)
 
 

@@ -79,11 +79,21 @@ def make_pod_mesh(ici_axis: str = ROWS_AXIS, dcn_axis: str = DCN_AXIS) -> Mesh:
             dcn_mesh_shape=(n_proc,),
         )
         dev_arr = np.asarray(devices).reshape(n_proc, per_host)
-    except Exception:
-        # backends without slice metadata (e.g. the multi-process CPU
+    except Exception as e:
+        if jax.devices()[0].platform == "tpu":
+            # On a real pod a failed hybrid mesh must be loud: the
+            # process-sorted fallback silently loses ICI-topology
+            # ordering within each host (cross-chip bandwidth hit).
+            raise
+        # backends without slice metadata (the multi-process CPU
         # harness): group devices by owning process, which preserves the
         # "inner axis stays intra-host" property the hybrid helper gives
         # on TPU pods
+        import warnings
+
+        warnings.warn(
+            f"create_hybrid_device_mesh unavailable ({e!r}); using "
+            "process-sorted device layout", RuntimeWarning, stacklevel=2)
         devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
         dev_arr = np.asarray(devs).reshape(n_proc, per_host)
     return Mesh(dev_arr, (dcn_axis, ici_axis))

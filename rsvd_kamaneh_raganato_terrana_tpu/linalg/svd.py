@@ -113,15 +113,13 @@ def svd(
     method = SVDMethod.parse(method)
     a = jnp.asarray(a)
     if method is SVDMethod.Auto:
-        method = (SVDMethod.Jacobi if min(a.shape) <= 256
+        method = (SVDMethod.ParallelJacobi if min(a.shape) <= 256
                   else SVDMethod.XLA)
-        if method is SVDMethod.Jacobi:
-            u, s, v = jacobi_svd(a, apply="auto", **kwargs)
-            if r > 0:
-                u, s, v = u[:, :r], s[:r], v[:, :r]
-            return u, s, v
     if method is SVDMethod.XLA:
-        u, s, vt = jnp.linalg.svd(a, full_matrices=False, **kwargs)
+        # engine kwargs (Jacobi tolerances etc.) have no XLA counterpart;
+        # dropping them keeps svd(a, 'auto', tol=...) working at every
+        # input size instead of crashing past the dispatch threshold
+        u, s, vt = jnp.linalg.svd(a, full_matrices=False)
         v = vt.T
     elif method is SVDMethod.Jacobi:
         u, s, v = jacobi_svd(a, apply="scatter", **kwargs)

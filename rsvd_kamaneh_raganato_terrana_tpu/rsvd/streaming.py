@@ -48,12 +48,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import SVDMethod, svd as small_svd
 from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
-
-_PRECISIONS = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-    "default": jax.lax.Precision.DEFAULT,
-}
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _PRECISIONS
 
 
 class SynthesizedMatrix:

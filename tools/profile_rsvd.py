@@ -9,7 +9,6 @@ Usage: python tools/profile_rsvd.py [--m 4096] [--n 4096] [--k 64]
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -54,7 +53,11 @@ def main():
     # Phase timings by dispatch-chain deltas (single-shot timing through
     # the TPU tunnel measures round-trip latency, not compute — see
     # docs/ARCHITECTURE.md "Performance methodology").
-    import numpy as _np
+    from benchmarks._timing import chain_delta as _chain, scaled_variants
+
+    def chain_delta(fn, fn_args, n_small=3, n_large=12):
+        return _chain(fn, scaled_variants(fn_args),
+                      n_small=n_small, n_large=n_large)
 
     omega = generate_omega(0, args.n, l, a.dtype)
     phases = {
@@ -73,28 +76,6 @@ def main():
     phases["power_refine"] = (phases["power_refine"][0], (a, qm))
     phases["project_b"] = (phases["project_b"][0], (qm2, a))
     phases["small_svd_tail"] = (phases["small_svd_tail"][0], (b,))
-
-    def chain_delta(fn, fn_args, n_small=3, n_large=12):
-        # cycle two distinct argument tuples (first operand scaled):
-        # identical re-dispatches can be deduplicated by caching
-        # transports (see benchmarks/loop_truth.py)
-        alt = (fn_args[0] * jnp.float32(1.0001),) + tuple(fn_args[1:])
-        variants = [fn_args, alt]
-
-        def chain(n):
-            t0 = time.perf_counter()
-            out = None
-            for i in range(n):
-                out = fn(*variants[i % 2])
-            jax.block_until_ready(out)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            _np.asarray(leaf.ravel()[:1])
-            return time.perf_counter() - t0
-
-        chain(1)  # warm
-        t_s = min(chain(n_small) for _ in range(3))
-        t_l = min(chain(n_large) for _ in range(3))
-        return max((t_l - t_s) / (n_large - n_small), 0.0)
 
     for name, (fn, fn_args) in phases.items():
         ms = chain_delta(fn, fn_args) * 1e3
