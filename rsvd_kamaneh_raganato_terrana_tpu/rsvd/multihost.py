@@ -1,0 +1,157 @@
+"""Multi-host streaming rSVD: per-host memmap shards, DCN-light collectives.
+
+Completes the scale-out story of :mod:`rsvd.streaming`: each host owns a
+contiguous ROW SHARD of A as a host-resident array (ndarray / np.memmap /
+:class:`SynthesizedMatrix`) and streams it through its own device(s);
+nothing the size of A ever crosses the host boundary.  The only
+cross-host traffic is what the algorithm fundamentally requires:
+
+- l x l Gram matrices for the distributed CholeskyQR of the row-sharded
+  basis (the reference's Gatherv->root->Bcast role for QR state,
+  image_compression/src/QR.cpp:138-149, done as one all-reduce),
+- the n x l co-range blocks Z = A^T Q of each power round,
+- the l x n projection B = Q^T A,
+
+each summed over hosts with a single collective on a one-device-per-
+process mesh.  The streamed panel GEMMs are process-local jits, so hosts
+with different shard sizes or panel counts stay in lockstep only at the
+collectives (SPMD-safe: every process issues the same global ops in the
+same order).
+
+This is the TPU-native counterpart of the reference's row-partitioned
+MPI pipeline (src/PM.cpp:31-68, SURVEY section 2.6 "row-sharded data
+parallelism") at out-of-core scale: MPI rank -> host process, rank's row
+block -> host memmap shard, Gatherv+Bcast -> all-reduce over DCN.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import (
+    _chol_maybe_shifted,
+    _gram,
+    _solve_right_upper,
+)
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import SVDMethod
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _PRECISIONS
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
+    _default_panel_rows,
+    _jit_qr,
+    _stream_left_t_multiply,
+    _stream_right_multiply,
+    _tail_svd,
+)
+
+
+@lru_cache(maxsize=1)
+def _procs_mesh() -> Mesh:
+    """1-D mesh holding ONE device per process — the DCN 'procs' axis the
+    cross-host reductions ride.  (The streamed local GEMMs use each
+    process's default device; this mesh only carries l-sized traffic.)"""
+    by_proc = {}
+    for d in sorted(jax.devices(), key=lambda d: (d.process_index, d.id)):
+        by_proc.setdefault(d.process_index, d)
+    devs = np.asarray([by_proc[i] for i in sorted(by_proc)])
+    return Mesh(devs, ("procs",))
+
+
+@lru_cache(maxsize=4)
+def _sum_over_procs(mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    return jax.jit(lambda t: jnp.sum(t, axis=0), out_shardings=rep)
+
+
+def _global_sum(x_local) -> np.ndarray:
+    """Sum an identically-shaped per-process array over all processes.
+
+    Every process MUST call this the same number of times in the same
+    order (it is a collective).  Identity on single-process runs."""
+    x_np = np.asarray(x_local)
+    if jax.process_count() == 1:
+        return x_np
+    mesh = _procs_mesh()
+    glob = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("procs")), x_np[None])
+    return np.asarray(_sum_over_procs(mesh)(glob))
+
+
+@partial(jax.jit, static_argnames=())
+def _finish_chol_qr(y_local, g_global, m_global):
+    """Local half of one distributed CholeskyQR pass: factor the summed
+    Gram (shifted-retry guard, linalg/qr.py) and apply R^{-1} to the
+    local row block as a GEMM."""
+    c, _ = _chol_maybe_shifted(g_global, m_global)
+    return _solve_right_upper(y_local, c.T)
+
+
+def _cholqr2_distributed(y_local, m_global: int):
+    """Distributed CholeskyQR2 of a row-sharded tall matrix: two rounds of
+    (local Gram -> all-reduce -> replicated Cholesky -> local trsm-GEMM).
+    The second pass restores O(eps) orthogonality exactly as in the
+    in-core `robust_cholesky_qr2` (linalg/qr.py:118)."""
+    q1 = _finish_chol_qr(y_local, jnp.asarray(
+        _global_sum(_jit_gram(y_local)), y_local.dtype), m_global)
+    return _finish_chol_qr(q1, jnp.asarray(
+        _global_sum(_jit_gram(q1)), y_local.dtype), m_global)
+
+
+_jit_gram = jax.jit(_gram)
+
+
+def rsvd_streaming_multihost(
+    a_local,
+    k: int,
+    p: int = 16,
+    q: int = 2,
+    method: SVDMethod | str = "eigh",
+    panel_rows: Optional[int] = None,
+    seed: int = 0,
+    dtype=jnp.float32,
+    precision: str | jax.lax.Precision = "highest",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Rank-k rSVD of a matrix whose row shards live one-per-host.
+
+    ``a_local``: THIS host's contiguous row block (m_local x n) as a
+    host-resident array; different hosts may hold different row counts.
+    Returns (U_local, s, V): U_local holds this host's rows of U
+    (m_local x k); s and V are replicated on every host (deterministic —
+    every host computes the identical replicated tail).
+
+    Single-process runs degrade to :func:`rsvd.streaming.rsvd_streaming`
+    semantics (same passes, CholeskyQR2 basis).
+    """
+    method = SVDMethod.parse(method)
+    prec = _PRECISIONS.get(precision, precision)
+    m_local, n = a_local.shape
+    m_global = int(_global_sum(np.asarray([m_local], np.float64))[0])
+    l = min(k + p, min(m_global, n))
+    if panel_rows is None:
+        panel_rows = _default_panel_rows(m_local, n, dtype)
+
+    # identical seed -> identical Omega on every host (shard-invariant,
+    # the property the reference's mt19937(rd()+rank) lacked)
+    key = key_from_seed(seed)
+    omega = jax.random.normal(key, (n, l), dtype)
+
+    y_local = _stream_right_multiply(a_local, omega, panel_rows, dtype, prec)
+    q_local = _cholqr2_distributed(y_local, m_global)
+    for _ in range(q):
+        z = _global_sum(_stream_left_t_multiply(
+            a_local, q_local, panel_rows, dtype, prec))
+        z_q, _ = _jit_qr(jnp.asarray(z, dtype), "robust")  # replicated
+        y_local = _stream_right_multiply(a_local, z_q, panel_rows, dtype,
+                                         prec)
+        q_local = _cholqr2_distributed(y_local, m_global)
+
+    b = jnp.asarray(_global_sum(_stream_left_t_multiply(
+        a_local, q_local, panel_rows, dtype, prec)), dtype).T
+    u_local, s, v = _tail_svd(b, q_local, method.value)
+    return u_local[:, :k], s[:k], v[:, :k]

@@ -103,9 +103,46 @@ def main():
         if not s_r.is_fully_replicated else np.asarray(s_r)
     np.testing.assert_allclose(s_ring[:4], s0[:4], rtol=2e-2)
 
+    # multi-host STREAMING: each process owns a memmap row shard of a
+    # global matrix (the per-host ingestion design, rsvd/multihost.py);
+    # the heavy panel GEMMs stay process-local, only l-sized Grams and
+    # n x l blocks cross the process boundary.
+    import tempfile
+
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.multihost import (
+        rsvd_streaming_multihost,
+    )
+
+    sizes = [180, 240]           # uneven shards, 420 global rows
+    ms = sizes[pid]
+    rows_before = sum(sizes[:pid])
+    full = (rng.standard_normal((420, n)) * 0.01
+            + rng.standard_normal((420, 16)) @ rng.standard_normal((16, n))
+            ).astype(np.float32)   # same rng stream state on both workers
+    my_rows = full[rows_before:rows_before + ms]
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        mm = np.memmap(f.name, dtype=np.float32, mode="w+",
+                       shape=my_rows.shape)
+        mm[:] = my_rows
+        mm.flush()
+        u_l, s_m, v_m = rsvd_streaming_multihost(
+            np.memmap(f.name, dtype=np.float32, mode="r",
+                      shape=my_rows.shape),
+            k=k, p=8, q=2, panel_rows=64)
+    assert u_l.shape == (ms, k)
+    s_mh = np.asarray(s_m)
+    # oracle: full-matrix SVD computed identically on both workers
+    s_full = np.linalg.svd(full, compute_uv=False)
+    np.testing.assert_allclose(s_mh[:8], s_full[:8], rtol=2e-2)
+    # this host's rows must reconstruct ITS shard
+    rec = np.asarray(u_l) @ np.diag(s_mh) @ np.asarray(v_m).T
+    rel = np.linalg.norm(my_rows - rec) / np.linalg.norm(my_rows)
+    assert rel < 0.05, f"local shard reconstruction {rel}"
+
     print(f"worker {pid}: ok mesh={mesh.devices.shape} "
           f"collectives={found} s0={s_local[0]:.4f} "
-          f"ring_s0={s_ring[0]:.4f}", flush=True)
+          f"ring_s0={s_ring[0]:.4f} stream_s0={s_mh[0]:.4f} "
+          f"stream_rel_err={rel:.3e}", flush=True)
 
 
 if __name__ == "__main__":
