@@ -38,9 +38,12 @@ def test_round_robin_covers_every_pair_once(n):
     assert len(seen) == n * (n - 1) // 2
 
 
-@given(m=st.integers(2, 40), n=st.integers(2, 40), seed=st.integers(0, 2**16))
+@given(m=st.sampled_from([2, 3, 17, 40]), n=st.sampled_from([2, 5, 23, 40]),
+       seed=st.integers(0, 2**16))
 @settings(**COMMON)
 def test_jacobi_svd_contract(m, n, seed):
+    # bucketed shapes (incl. the degenerate 2-row/col edges) so examples
+    # share jit caches; see test_streaming_driver_contract
     rng = np.random.default_rng(seed)
     a = rng.standard_normal((m, n))
     u, s, v = jacobi_svd(jnp.asarray(a))
@@ -85,11 +88,14 @@ def test_rsvd_near_optimal(seed, r, k_extra):
     assert err <= opt * 1.02 + 1e-8 * s_np[0]
 
 
-@given(seed=st.integers(0, 2**16), m=st.integers(20, 70),
-       n=st.integers(16, 50), panel_rows=st.sampled_from([7, 16, 33]),
+@given(seed=st.integers(0, 2**16), m=st.sampled_from([20, 47, 70]),
+       n=st.sampled_from([16, 33, 50]), panel_rows=st.sampled_from([7, 16, 33]),
        r=st.integers(1, 5))
 @settings(**COMMON)
 def test_streaming_driver_contract(seed, m, n, panel_rows, r):
+    # shapes are drawn from fixed buckets (not free integer ranges) so the
+    # 8 hypothesis examples share jit caches — a fresh (m, n, panel) shape
+    # recompiles every streamed phase, which once dominated suite runtime
     """Streamed rSVD must (a) be invariant to the panel decomposition and
     (b) recover an exact rank-r matrix to near machine precision for any
     shape — the multi-pass driver's core contract."""
@@ -109,11 +115,12 @@ def test_streaming_driver_contract(seed, m, n, panel_rows, r):
                                rtol=2e-4, atol=1e-5 * scale)
 
 
-@given(seed=st.integers(0, 2**16), m=st.integers(24, 70),
-       n=st.integers(20, 50), panel_rows=st.sampled_from([9, 21]),
+@given(seed=st.integers(0, 2**16), m=st.sampled_from([24, 51, 70]),
+       n=st.sampled_from([20, 37, 50]), panel_rows=st.sampled_from([9, 21]),
        r=st.integers(1, 4))
 @settings(**COMMON)
 def test_streaming_onepass_contract(seed, m, n, panel_rows, r):
+    # bucketed shapes: see test_streaming_driver_contract
     """One-pass (two-sided sketch) driver: exact rank-r recovery and panel
     invariance — with only a single streamed pass over A."""
     rng = np.random.default_rng(seed)
@@ -131,9 +138,11 @@ def test_streaming_onepass_contract(seed, m, n, panel_rows, r):
                                rtol=2e-4, atol=1e-5 * scale)
 
 
-@given(seed=st.integers(0, 2**16), n1=st.integers(3, 12), n2=st.integers(1, 8))
+@given(seed=st.integers(0, 2**16), n1=st.sampled_from([3, 7, 12]),
+       n2=st.sampled_from([1, 4, 8]))
 @settings(**COMMON)
 def test_incremental_append_equals_batch(seed, n1, n2):
+    # bucketed shapes: see test_streaming_driver_contract
     rng = np.random.default_rng(seed)
     a = rng.standard_normal((20, n1))
     c = rng.standard_normal((20, n2))
