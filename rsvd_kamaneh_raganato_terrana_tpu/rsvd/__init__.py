@@ -11,6 +11,11 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     rsvd_with_omega,
     subspace_iteration,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (  # noqa: F401
+    nystrom_psd,
+    nystrom_reconstruct,
+    reigh,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.ring import (  # noqa: F401
     rsvd_ring,
 )
