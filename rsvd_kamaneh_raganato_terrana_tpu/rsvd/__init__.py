@@ -8,6 +8,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     rsvd,
     rsvd_adaptive,
     rsvd_image_preset,
+    rsvd_sharded,
     rsvd_with_omega,
     subspace_iteration,
 )

@@ -193,6 +193,37 @@ def rsvd(
     )
 
 
+def rsvd_sharded(
+    a,
+    mesh,
+    k: int = 0,
+    row_axis: str = "rows",
+    **kwargs,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """``rsvd`` on a device mesh with automatic ragged-row handling.
+
+    The reference balances non-dividing row counts with its
+    rows_per_proc/rows_remainder idiom at every MPI call site
+    (src/PM.cpp:31-35).  Here the padding is applied once: zero rows are
+    appended so dim 0 divides the ``row_axis`` device count, the padded
+    matrix is placed row-sharded, and the zero factor rows are cropped
+    from U afterwards — exact, because rsvd([A; 0]) yields ([U; 0], s, V)
+    (zero rows contribute nothing to any Gram, sketch, or projection).
+
+    Accepts every ``rsvd`` keyword (p/q/method/precision/...).
+    """
+    from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import (
+        pad_rows_for_mesh,
+        shard_rows,
+    )
+
+    a = jnp.asarray(a)
+    a_pad, rows = pad_rows_for_mesh(a, mesh, row_axis)
+    a_sh = shard_rows(a_pad, mesh, row_axis)
+    u, s, v = rsvd(a_sh, k=k, **kwargs)
+    return u[:rows], s, v
+
+
 def rsvd_image_preset(a, k: int = -1, seed: int = 0):
     """The image-compression stack's preset (image_compression/src/
     image_com.cpp:288-317): default k = min(m, n) / 4, p = 10, q = 1."""

@@ -107,3 +107,29 @@ def test_rsvd_ring_collective_structure(mesh8, rng):
                             qr_method="cholqr2"), a)
     assert "collective-permute" in text
     assert "all-gather" not in text
+
+
+def test_rsvd_sharded_ragged_rows(mesh8, rng):
+    """rsvd_sharded pads non-dividing row counts automatically (the
+    reference's rows_per_proc/rows_remainder idiom, src/PM.cpp:31-35,
+    made transparent) and crops the zero factor rows back."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+        rsvd,
+        rsvd_sharded,
+    )
+
+    a_np = rng.standard_normal((131, 96))  # 131 % 8 != 0
+    u, s, v = rsvd_sharded(jnp.asarray(a_np), mesh8, k=8, p=8, q=2,
+                           method="eigh", seed=3)
+    assert u.shape == (131, 8) and s.shape == (8,) and v.shape == (96, 8)
+    # identical to the unsharded run: generate_omega is shard-invariant
+    # and the zero padding is exact
+    u0, s0, v0 = rsvd(jnp.asarray(a_np), k=8, p=8, q=2, method="eigh",
+                      seed=3)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u0), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v0), atol=1e-8)
+    # reconstruction contract on the ragged shape
+    err = np.linalg.norm(
+        a_np - np.asarray(u) * np.asarray(s) @ np.asarray(v).T)
+    assert np.isfinite(err)
