@@ -12,6 +12,13 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     rsvd_with_omega,
     subspace_iteration,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.interp import (  # noqa: F401
+    column_id,
+    cur,
+    cur_reconstruct,
+    id_reconstruct,
+    row_id,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (  # noqa: F401
     nystrom_psd,
     nystrom_reconstruct,
