@@ -19,6 +19,10 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.interp import (  # noqa: F401
     id_reconstruct,
     row_id,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.krylov import (  # noqa: F401
+    krylov_basis,
+    rsvd_krylov,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (  # noqa: F401
     nystrom_psd,
     nystrom_reconstruct,
