@@ -33,11 +33,14 @@ def main():
     ap.add_argument("--out", default="bench_results/scale_sweep.csv")
     args = ap.parse_args()
 
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
 
     from rsvd_kamaneh_raganato_terrana_tpu.core.profiling import rsvd_flops
-    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import SVDMethod
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd_core
 
     rng = np.random.default_rng(0)
     rows = []
@@ -46,11 +49,17 @@ def main():
         for k in (int(r) for r in args.ranks.split(",")):
             l = min(k + 16, n)
 
-            def run(x, seed, k=k):
-                return rsvd(x, k=k, p=16, q=args.q, method=args.method,
-                            sketch=args.sketch, precision=args.precision,
-                            reorth=args.reorth,
-                            interior_qr=args.interior_qr, seed=seed)
+            # pre-bound jitted callable (bench.py protocol): the rsvd()
+            # convenience wrapper's per-call static-kwarg dispatch costs
+            # ~0.5 ms through the relay transport, which is pipeline-sized
+            # at small n — bind every static once so the chain measures
+            # the pipeline, not the wrapper
+            run = jax.jit(partial(
+                rsvd_core, k=k, p=16, q=args.q,
+                method=SVDMethod.parse(args.method).value,
+                sketch=args.sketch, qr_method="robust",
+                precision=args.precision, reorth=args.reorth,
+                interior_qr=args.interior_qr))
 
             out = run(a, 0)
             jax.block_until_ready(out)
@@ -71,9 +80,18 @@ def main():
                 np.asarray(o[1])
                 return time.perf_counter() - t0
 
-            t_small = min(chain(3) for _ in range(3))
-            t_large = min(chain(12) for _ in range(3))
-            per = max((t_large - t_small) / 9.0, 1e-9)
+            # Adaptive chain lengths: relay timing jitter is ~1-2 ms per
+            # chain, so the slope base must hold >= ~40 ms of real work or
+            # fast configs read below their own single-dispatch fori_loop
+            # ground truth (observed: 0.25 ms at a 0.35 ms floor with a
+            # 16-iteration base).  Pilot-estimate the per-iteration time,
+            # then size the base accordingly.
+            pilot = max((chain(12) - chain(4)) / 8.0, 1e-6)
+            n_large = int(max(20, min(400, 0.040 / pilot)))
+            n_small = max(4, n_large // 5)
+            t_small = min(chain(n_small) for _ in range(3))
+            t_large = min(chain(n_large) for _ in range(3))
+            per = max((t_large - t_small) / (n_large - n_small), 1e-9)
             gflops = rsvd_flops(n, n, l, args.q) / per / 1e9
             row = {
                 "n": n,

@@ -127,14 +127,14 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
     return u, s, v
 
 
-@partial(
-    jax.jit,
-    static_argnames=("k", "p", "q", "method", "sketch", "qr_method",
-                     "precision", "reorth", "interior_qr"),
-)
-def _rsvd_impl(a, *, k, p, q, method, sketch, qr_method, seed, precision,
-               reorth, interior_qr):
-    # note: seed is a traced argument — changing it does NOT recompile
+def rsvd_core(a, seed, *, k, p, q, method, sketch, qr_method, precision,
+              reorth, interior_qr):
+    """Traceable (un-jitted) core of `rsvd`: jit/vmap/pre-bind it yourself
+    when per-dispatch Python overhead matters (benchmarks pre-bind one
+    `jax.jit(partial(rsvd_core, ...))` per configuration — through a
+    relay transport the static-kwarg cache lookup of the convenience
+    wrapper is measurable).  `seed` is a traced argument — changing it
+    does NOT recompile."""
     m, n = a.shape
     l = min(k + p if k > 0 else p, min(m, n))
     prec = _PRECISIONS.get(precision, precision)
@@ -158,6 +158,13 @@ def _rsvd_impl(a, *, k, p, q, method, sketch, qr_method, seed, precision,
     omega = generate_omega(seed, n, l, a.dtype, sketch)
     return rsvd_with_omega(a, omega, q, k, method, qr_method, precision,
                            reorth, interior_qr)
+
+
+_rsvd_impl = partial(
+    jax.jit,
+    static_argnames=("k", "p", "q", "method", "sketch", "qr_method",
+                     "precision", "reorth", "interior_qr"),
+)(rsvd_core)
 
 
 def rsvd(
