@@ -12,6 +12,9 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     rsvd_with_omega,
     subspace_iteration,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.fd import (  # noqa: F401
+    FrequentDirections,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.interp import (  # noqa: F401
     column_id,
     cur,
@@ -35,4 +38,9 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (  # noqa: F401
     SynthesizedMatrix,
     rsvd_streaming,
     rsvd_streaming_onepass,
+)
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.trace import (  # noqa: F401
+    diag_estimate,
+    hutchinson,
+    hutchpp,
 )

@@ -1,0 +1,84 @@
+"""Randomized trace / diagonal estimation (rsvd/trace.py): unbiasedness,
+the Rademacher exactness identities, and Hutch++'s variance reduction."""
+
+import numpy as np
+
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.trace import (
+    diag_estimate,
+    hutchinson,
+    hutchpp,
+)
+
+
+def _sym(n, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)).astype(dtype)
+    return (a + a.T) / 2
+
+
+def _psd_low_rank(n, r, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal((n, r)).astype(dtype)
+    return b @ b.T
+
+
+class TestHutchinson:
+    def test_diagonal_matrix_is_exact(self):
+        # Rademacher probes: g_i^2 = 1, so g^T D g = tr(D) exactly
+        d = np.diag(np.linspace(-3.0, 5.0, 100))
+        est, se = hutchinson(d, seed=0, num_samples=4)
+        np.testing.assert_allclose(float(est), np.trace(d), rtol=1e-12)
+        assert float(se) < 1e-10
+
+    def test_within_stderr_of_truth(self):
+        a = _sym(200, seed=1)
+        est, se = hutchinson(a, seed=2, num_samples=256)
+        assert abs(float(est) - np.trace(a)) < 5 * float(se)
+
+    def test_seed_changes_estimate_gaussian(self):
+        a = _sym(60, seed=3)
+        e1, _ = hutchinson(a, seed=0, num_samples=16, kind="gaussian")
+        e2, _ = hutchinson(a, seed=1, num_samples=16, kind="gaussian")
+        assert float(e1) != float(e2)
+        e1b, _ = hutchinson(a, seed=0, num_samples=16, kind="gaussian")
+        assert float(e1) == float(e1b)
+
+
+class TestHutchPP:
+    def test_exact_on_low_rank_psd(self):
+        # budget//3 = 32 probe columns >= rank 8: Q spans range(A) and the
+        # residual term vanishes — estimate is exact to roundoff
+        a = _psd_low_rank(300, 8, seed=4)
+        est = hutchpp(a, seed=0, budget=96)
+        np.testing.assert_allclose(float(est), np.trace(a), rtol=1e-8)
+
+    def test_beats_hutchinson_on_decaying_spectrum(self):
+        # PSD with power-law decay: Hutch++'s error scales with the tail
+        # energy, Hutchinson's with the full ||A||_F
+        n = 400
+        rng = np.random.default_rng(5)
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = 1.0 / np.arange(1, n + 1) ** 2
+        a = (q * lam[None, :]) @ q.T
+        t = np.trace(a)
+        budget = 60
+        err_pp = [abs(float(hutchpp(a, seed=s, budget=budget)) - t)
+                  for s in range(8)]
+        err_h = [abs(float(hutchinson(a, seed=s, num_samples=budget)[0]) - t)
+                 for s in range(8)]
+        assert np.median(err_pp) < 0.2 * np.median(err_h)
+
+
+class TestDiagEstimate:
+    def test_diagonal_matrix_is_exact(self):
+        d = np.diag(np.linspace(0.1, 9.0, 64))
+        est, se = diag_estimate(d, seed=0, num_samples=4)
+        np.testing.assert_allclose(np.asarray(est), np.diag(d), rtol=1e-12)
+        assert float(np.max(np.asarray(se))) < 1e-10
+
+    def test_general_matrix_within_stderr(self):
+        a = _sym(150, seed=6)
+        est, se = diag_estimate(a, seed=1, num_samples=512)
+        err = np.abs(np.asarray(est) - np.diag(a))
+        # 5-sigma per entry; allow a couple of outliers out of 150
+        assert np.sum(err > 5 * np.asarray(se)) <= 2
