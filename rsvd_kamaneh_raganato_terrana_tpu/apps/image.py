@@ -457,6 +457,35 @@ def reconstruct_video(u, s, v) -> np.ndarray:
                      np.asarray(v))
 
 
+def compress_video_tucker(frames, ranks, p: int = 10, q: int = 1,
+                          seed: int = 0, dtype=jnp.float32):
+    """Tucker (ST-HOSVD) compression of a frame stack (T, H, W) with
+    multilinear ``ranks = (rt, rh, rw)``.
+
+    Unlike :func:`compress_video` (independent per-frame factors), the
+    Tucker core captures TEMPORAL redundancy too: storage is
+    rt*rh*rw + T*rt + H*rh + W*rw floats, so for slowly-varying video the
+    same reconstruction error costs a fraction of per-frame rSVD
+    (tests/test_tucker.py benchmarks the crossover on a synthetic pan).
+    Returns host-side ``(core, (Ut, Uh, Uw))``.
+    """
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tucker import tucker
+
+    core, factors = tucker(jnp.asarray(np.asarray(frames), dtype=dtype),
+                           tuple(ranks), p=p, q=q, seed=seed)
+    return np.asarray(core), tuple(np.asarray(f) for f in factors)
+
+
+def reconstruct_video_tucker(core, factors) -> np.ndarray:
+    """Inverse of :func:`compress_video_tucker`: (T, H, W) frame stack."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tucker import (
+        tucker_reconstruct,
+    )
+
+    return np.asarray(tucker_reconstruct(
+        jnp.asarray(core), tuple(jnp.asarray(f) for f in factors)))
+
+
 def _truncate_byte(x: np.ndarray) -> np.ndarray:
     """The reference's byte mapping ``(char)(static_cast<int>(x) & 0xFF)``
     (image_com.cpp:97-99): truncate toward zero, keep the low byte."""

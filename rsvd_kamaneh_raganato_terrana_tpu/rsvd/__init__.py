@@ -26,6 +26,10 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.krylov import (  # noqa: F401
     krylov_basis,
     rsvd_krylov,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.lstsq import (  # noqa: F401
+    lstsq_residual,
+    sketch_lstsq,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (  # noqa: F401
     nystrom_psd,
     nystrom_reconstruct,
@@ -43,4 +47,9 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.trace import (  # noqa: F401
     diag_estimate,
     hutchinson,
     hutchpp,
+)
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tucker import (  # noqa: F401
+    tucker,
+    tucker_adaptive,
+    tucker_reconstruct,
 )

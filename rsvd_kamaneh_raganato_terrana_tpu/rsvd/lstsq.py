@@ -1,0 +1,135 @@
+"""Sketch-and-precondition overdetermined least squares (Blendenpik-style).
+
+Beyond-parity extension.  min_x ||A x - b||_2 for tall A (m >> n): sketch
+A down to s x n (s ~ 4n), QR the sketch, and use its R factor as a right
+preconditioner for LSQR — the preconditioned system A R^{-1} has condition
+number O(1) with high probability (Rokhlin-Tygert 2008; Avron-Maymounkov-
+Toledo 2010, "Blendenpik"), so a FIXED small iteration count reaches
+machine-precision residuals regardless of cond(A).
+
+TPU shape: the sketch is one GEMM (MXU; a structured SRHT would save
+FLOPs but lose MXU density — on this hardware the dense GEMM wins), the
+QR is the framework's CholeskyQR stack on an s x n panel, and LSQR runs
+as a `lax.scan` with a static iteration count: no data-dependent Python
+control flow, one compiled program for any number of right-hand sides.
+
+Reference role: the reference has no solver beyond factorization; this
+closes the "use the sketch for something other than an SVD" gap its
+report motivates (randomized methods chapter).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed, sketch_matrix
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _mm
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _lsqr_scan(a, b, r_upper, iters: int):
+    """LSQR (Paige-Saunders 1982) on the right-preconditioned operator
+    Ap = A R^{-1}, fixed `iters` bidiagonalization steps inside one scan.
+    b may be (m,) or (m, nrhs); states carry the rhs axis throughout."""
+    solve_r = partial(jax.scipy.linalg.solve_triangular, r_upper,
+                      lower=False)                  # y -> R^{-1} y
+    solve_rt = partial(jax.scipy.linalg.solve_triangular, r_upper.T,
+                       lower=True)                  # y -> R^{-T} y
+
+    def ap(x):                                      # A R^{-1} x
+        return _mm(a, solve_r(x), _HI)
+
+    def apt(y):                                     # R^{-T} A^T y
+        return solve_rt(_mm(a.T, y, _HI))
+
+    eps = jnp.asarray(1e-30, a.dtype)
+
+    def norm(v):
+        return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+
+    beta = norm(b)
+    u = b / jnp.maximum(beta, eps)
+    v0 = apt(u)
+    alpha = norm(v0)
+    v = v0 / jnp.maximum(alpha, eps)
+    w = v
+    x = jnp.zeros_like(v)
+    rho_bar, phi_bar = alpha, beta
+
+    def step(carry, _):
+        x, w, u, v, alpha, beta, rho_bar, phi_bar = carry
+        u_next = ap(v) - alpha * u
+        beta = norm(u_next)
+        u = u_next / jnp.maximum(beta, eps)
+        v_next = apt(u) - beta * v
+        alpha = norm(v_next)
+        v = v_next / jnp.maximum(alpha, eps)
+        rho = jnp.sqrt(rho_bar * rho_bar + beta * beta)
+        c, s = rho_bar / rho, beta / rho
+        theta = s * alpha
+        rho_bar = -c * alpha
+        phi = c * phi_bar
+        phi_bar = s * phi_bar
+        x = x + (phi / rho) * w
+        w = v - (theta / rho) * w
+        return (x, w, u, v, alpha, beta, rho_bar, phi_bar), None
+
+    (x, *_), _ = jax.lax.scan(
+        step, (x, w, u, v, alpha, beta, rho_bar, phi_bar), None,
+        length=iters)
+    return solve_r(x)                               # back to original vars
+
+
+@partial(jax.jit, static_argnames=("sketch_size", "iters", "kind"))
+def _sketch_lstsq_impl(a, b, seed, sketch_size: int, iters: int, kind: str):
+    m, n = a.shape
+    # left sketch S A with S: s x m — one GEMM; Gaussian/Rademacher keep
+    # the MXU dense where an SRHT would fragment into permutes
+    s_mat = sketch_matrix(key_from_seed(seed), sketch_size, m, a.dtype,
+                          kind)
+    _, r_upper = qr_reduced(_mm(s_mat, a, _HI), "robust")
+    return _lsqr_scan(a, b, r_upper, iters)
+
+
+def sketch_lstsq(
+    a,
+    b,
+    sketch_size: int | None = None,
+    iters: int = 40,
+    seed: int = 0,
+    kind: str = "gaussian",
+) -> jax.Array:
+    """Solve min_x ||A x - b||_2 for tall A via sketched preconditioning.
+
+    ``b``: (m,) or (m, nrhs) — all right-hand sides share one
+    preconditioner and one scan.  ``sketch_size`` defaults to 4n (clamped
+    to m); ``iters=40`` LSQR steps reach ~machine precision for the
+    O(1)-conditioned preconditioned operator (each step is two n-sized
+    GEMVs against A plus two triangular solves).
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b, dtype=a.dtype)
+    m, n = a.shape
+    if m < n:
+        raise ValueError(f"need tall A (m >= n), got {a.shape}")
+    s = int(min(m, sketch_size if sketch_size is not None else 4 * n))
+    if s < n:
+        raise ValueError(f"sketch_size {s} < n {n} cannot precondition")
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    x = _sketch_lstsq_impl(a, b, seed, s, iters, kind)
+    return x[:, 0] if squeeze else x
+
+
+def lstsq_residual(a, x, b) -> jax.Array:
+    """||A x - b||_2 per right-hand side (diagnostic)."""
+    a = jnp.asarray(a)
+    r = _mm(a, jnp.asarray(x, a.dtype), _HI) - jnp.asarray(b, a.dtype)
+    return jnp.sqrt(jnp.sum(r * r, axis=0))
