@@ -18,3 +18,6 @@ from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import (  # noqa: F401
     transpose,
     transpose_sharded,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.ops.sketching import (  # noqa: F401
+    countsketch_apply,
+)

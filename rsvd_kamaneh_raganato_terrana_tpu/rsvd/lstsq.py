@@ -89,11 +89,21 @@ def _lsqr_scan(a, b, r_upper, iters: int):
 @partial(jax.jit, static_argnames=("sketch_size", "iters", "kind"))
 def _sketch_lstsq_impl(a, b, seed, sketch_size: int, iters: int, kind: str):
     m, n = a.shape
-    # left sketch S A with S: s x m — one GEMM; Gaussian/Rademacher keep
-    # the MXU dense where an SRHT would fragment into permutes
-    s_mat = sketch_matrix(key_from_seed(seed), sketch_size, m, a.dtype,
-                          kind)
-    _, r_upper = qr_reduced(_mm(s_mat, a, _HI), "robust")
+    if kind == "sparse":
+        # OSNAP sparse sign embedding: O(t m n) scatter-adds instead of
+        # the s*m*n GEMM — asymptotically cheaper whenever t << s
+        from rsvd_kamaneh_raganato_terrana_tpu.ops.sketching import (
+            countsketch_apply,
+        )
+
+        sa = countsketch_apply(key_from_seed(seed), a, sketch_size)
+    else:
+        # dense left sketch S A — one GEMM; Gaussian/Rademacher keep the
+        # MXU dense where an SRHT would fragment into permutes
+        s_mat = sketch_matrix(key_from_seed(seed), sketch_size, m,
+                              a.dtype, kind)
+        sa = _mm(s_mat, a, _HI)
+    _, r_upper = qr_reduced(sa, "robust")
     return _lsqr_scan(a, b, r_upper, iters)
 
 
@@ -111,7 +121,10 @@ def sketch_lstsq(
     preconditioner and one scan.  ``sketch_size`` defaults to 4n (clamped
     to m); ``iters=40`` LSQR steps reach ~machine precision for the
     O(1)-conditioned preconditioned operator (each step is two n-sized
-    GEMVs against A plus two triangular solves).
+    GEMVs against A plus two triangular solves).  ``kind='sparse'``
+    switches the sketch to the OSNAP sparse sign embedding
+    (ops/sketching.py): O(t m n) instead of the 4 m n^2 dense-sketch
+    GEMM — the right choice for very tall problems.
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b, dtype=a.dtype)
