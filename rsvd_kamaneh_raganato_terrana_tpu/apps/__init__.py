@@ -6,6 +6,10 @@ from rsvd_kamaneh_raganato_terrana_tpu.apps.pca import (  # noqa: F401
     load_tourists_dataset,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.apps.image import Image, TileFactors  # noqa: F401
+from rsvd_kamaneh_raganato_terrana_tpu.apps.kpca import (  # noqa: F401
+    KernelPCA,
+    kernel_matrix,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.apps.pod import (  # noqa: F401
     POD,
     energy_pod,
