@@ -38,6 +38,11 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (  # noqa: F401
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.ring import (  # noqa: F401
     rsvd_ring,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.slq import (  # noqa: F401
+    lanczos_tridiag,
+    logdet_psd,
+    slq_trace,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (  # noqa: F401
     SynthesizedMatrix,
     rsvd_streaming,
