@@ -53,6 +53,13 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.trace import (  # noqa: F401
     hutchinson,
     hutchpp,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tt import (  # noqa: F401
+    tt_adaptive,
+    tt_compression_ratio,
+    tt_decompose,
+    tt_ranks,
+    tt_reconstruct,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tucker import (  # noqa: F401
     tucker,
     tucker_adaptive,
