@@ -5,14 +5,17 @@ spectrum.  Kernel PCA generalizes it to nonlinear feature spaces via the
 kernel trick — and its computational core is EXACTLY the matrix family
 this framework's PSD machinery targets: an n x n centered kernel Gram,
 symmetric PSD with (for smooth kernels) fast spectral decay, needing only
-its top-k eigenpairs.  The `auto` solver uses the one-pass stabilized
-Nystrom sketch (rsvd/nystrom.py) above the exact-eigh crossover.
+its top-k eigenpairs.  The `auto` solver uses exact eigh below n=1024
+(where its cost is trivial) and the power-iterated Rayleigh-Ritz sketch
+(rsvd/nystrom.py::reigh) above.
 
 TPU shape: every kernel here is GEMM-dominated (the RBF distance matrix
 is ||x||^2 + ||y||^2 - 2 x y^T — one MXU GEMM + rank-1 corrections, no
 pairwise loops); centering is rank-1 updates; the eigensolve is either a
-replicated `eigh` or the Nystrom pipeline.  fit/transform are each one
-jitted program.
+replicated `eigh` or the randomized pipeline.  fit and transform each
+dispatch ONE jitted program (kernel + centering + eigensolve + scaling
+fused — eager small-op chains cost ~30-80 ms/primitive through a relay
+transport, CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -22,10 +25,14 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
-from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import nystrom_psd, reigh
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (
+    _nystrom_impl,
+    _reigh_impl,
+)
+
+_KERNELS = ("rbf", "poly", "linear")
 
 
 def _mm(a, b):
@@ -33,43 +40,81 @@ def _mm(a, b):
                       preferred_element_type=a.dtype)
 
 
-def kernel_matrix(x, y, kernel: str = "rbf", gamma: Optional[float] = None,
-                  degree: int = 3, coef0: float = 1.0):
-    """K[i, j] = k(x_i, y_j) for rows of x (n x d) and y (m x d)."""
-    x = jnp.asarray(x)
-    y = jnp.asarray(y, dtype=x.dtype)
-    if gamma is None:
-        gamma = 1.0 / x.shape[1]
+def _kernel(x, y, kernel: str, gamma, degree: int, coef0):
+    """Traced kernel block k(x_i, y_j) — called inside the jitted fit and
+    transform programs."""
     if kernel == "linear":
         return _mm(x, y.T)
     if kernel == "poly":
         return (gamma * _mm(x, y.T) + coef0) ** degree
-    if kernel == "rbf":
-        # ||x_i - y_j||^2 = ||x_i||^2 + ||y_j||^2 - 2 <x_i, y_j>: one GEMM
-        xx = jnp.sum(x * x, axis=1)[:, None]
-        yy = jnp.sum(y * y, axis=1)[None, :]
-        d2 = jnp.maximum(xx + yy - 2.0 * _mm(x, y.T), 0.0)
-        return jnp.exp(-gamma * d2)
-    raise ValueError(f"unknown kernel {kernel!r}")
+    # rbf: ||x_i - y_j||^2 = ||x_i||^2 + ||y_j||^2 - 2 <x_i, y_j>
+    xx = jnp.sum(x * x, axis=1)[:, None]
+    yy = jnp.sum(y * y, axis=1)[None, :]
+    d2 = jnp.maximum(xx + yy - 2.0 * _mm(x, y.T), 0.0)
+    return jnp.exp(-gamma * d2)
 
 
-@jax.jit
-def _center_train(k):
-    """Feature-space centering: K_c = (I - 1/n) K (I - 1/n) as rank-1
-    updates (Scholkopf-Smola-Muller 1998, eq. 4.12)."""
-    row = jnp.mean(k, axis=1, keepdims=True)
-    col = jnp.mean(k, axis=0, keepdims=True)
-    tot = jnp.mean(k)
-    return k - row - col + tot
+@partial(jax.jit, static_argnames=("kernel", "degree"))
+def _kernel_jit(x, y, kernel: str, gamma, degree: int, coef0):
+    return _kernel(x, y, kernel, gamma, degree, coef0)
 
 
-@jax.jit
-def _center_cross(k_new, col_means, tot):
-    """Center a cross-kernel block k(new, train) against the TRAINING
-    feature mean: rows use the new block's own row means, columns the
-    stored training column means."""
+def kernel_matrix(x, y, kernel: str = "rbf", gamma: Optional[float] = None,
+                  degree: int = 3, coef0: float = 1.0):
+    """K[i, j] = k(x_i, y_j) for rows of x (n x d) and y (m x d) — one
+    jitted dispatch."""
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}")
+    x = jnp.asarray(x)
+    y = jnp.asarray(y, dtype=x.dtype)
+    if gamma is None:
+        gamma = 1.0 / x.shape[1]
+    return _kernel_jit(x, y, kernel, jnp.asarray(gamma, x.dtype), degree,
+                       jnp.asarray(coef0, x.dtype))
+
+
+def _finish(w, v, kc):
+    """Shared fit tail: clamp the spectrum, zero rank-deficient
+    components, and build scores.  Components whose eigenvalue is
+    negligible relative to the leading one get a ZERO projection scale —
+    dividing by sqrt(~0) would emit huge garbage in transform (the
+    centered kernel's rank is at most the data's intrinsic rank)."""
+    w = jnp.maximum(w, 0.0)
+    floor = jnp.finfo(kc.dtype).eps * kc.shape[0] * jnp.maximum(w[0], 0.0)
+    ok = w > floor
+    inv_sqrt = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, w, 1.0)), 0.0)
+    scores = v * jnp.sqrt(w)[None, :] * ok
+    return w * ok, v, inv_sqrt, scores
+
+
+@partial(jax.jit, static_argnames=("kernel", "degree", "k", "solver", "p"))
+def _fit_impl(x, kernel: str, gamma, degree: int, coef0, k: int,
+              solver: str, p: int, seed):
+    kmat = _kernel(x, x, kernel, gamma, degree, coef0)
+    col_means = jnp.mean(kmat, axis=0)
+    tot = jnp.mean(kmat)
+    row = jnp.mean(kmat, axis=1, keepdims=True)
+    kc = kmat - row - col_means[None, :] + tot       # feature-space center
+    kc = 0.5 * (kc + kc.T)
+    if solver == "exact":
+        w, v = jnp.linalg.eigh(kc)
+        w, v = w[::-1][:k], v[:, ::-1][:, :k]
+    elif solver == "randomized":
+        w, v = _reigh_impl(kc, k=k, p=p, q=2, seed=seed,
+                           precision="highest")
+    else:                                            # nystrom (one pass)
+        v, w = _nystrom_impl(kc, k=k, p=p, seed=seed,
+                             precision="highest")
+    return (col_means, tot) + _finish(w, v, kc)
+
+
+@partial(jax.jit, static_argnames=("kernel", "degree"))
+def _transform_impl(y, x, kernel: str, gamma, degree: int, coef0,
+                    col_means, tot, alphas, inv_sqrt):
+    k_new = _kernel(y, x, kernel, gamma, degree, coef0)
     row = jnp.mean(k_new, axis=1, keepdims=True)
-    return k_new - row - col_means[None, :] + tot
+    kc = k_new - row - col_means[None, :] + tot
+    return _mm(kc, alphas) * inv_sqrt[None, :]
 
 
 class KernelPCA:
@@ -83,9 +128,11 @@ class KernelPCA:
     kernel spectra), 'nystrom' (ONE streamed pass over K, fastest, biased
     low on slowly-decaying spectra unless p is generous), or 'auto'
     (exact below n=1024 where eigh's cost is trivial, randomized above).
-    Attributes after fit: ``eigenvalues_`` (k,), ``alphas_`` (n x k,
-    unit-norm kernel-space eigenvectors), ``scores_`` (n x k,
-    = alphas * sqrt(eigenvalues), the training projections).
+    Attributes after fit: ``eigenvalues_`` (k, zeroed past the kernel's
+    numerical rank), ``alphas_`` (n x k kernel-space eigenvectors),
+    ``scores_`` (n x k, = alphas * sqrt(eigenvalues), the training
+    projections).  Components beyond the centered kernel's numerical
+    rank transform to exactly zero (not noise).
     """
 
     def __init__(self, n_components: int, kernel: str = "rbf",
@@ -101,46 +148,38 @@ class KernelPCA:
         self.p = p
         self.seed = seed
 
+    def _params(self, dtype):
+        gamma = self.gamma if self.gamma is not None else 1.0 / self._d
+        return (jnp.asarray(gamma, dtype), self.degree,
+                jnp.asarray(self.coef0, dtype))
+
     def fit(self, x) -> "KernelPCA":
+        if self.kernel not in _KERNELS:
+            raise ValueError(f"unknown kernel {self.kernel!r}")
         x = jnp.asarray(x)
         self._x = x
-        kmat = kernel_matrix(x, x, self.kernel, self.gamma, self.degree,
-                             self.coef0)
-        # stored for transform-time centering
-        self._col_means = jnp.mean(kmat, axis=0)
-        self._tot = jnp.mean(kmat)
-        kc = _center_train(kmat)
-        n = kc.shape[0]
+        self._d = x.shape[1]
         solver = self.solver
         if solver == "auto":
-            solver = "exact" if n <= 1024 else "randomized"
-        if solver == "exact":
-            w, v = jnp.linalg.eigh(0.5 * (kc + kc.T))
-            w, v = w[::-1][: self.k], v[:, ::-1][:, : self.k]
-            w = jnp.maximum(w, 0.0)
-        elif solver == "randomized":
-            w, v = reigh(0.5 * (kc + kc.T), self.k, p=self.p, q=2,
-                         seed=self.seed)
-            w = jnp.maximum(w, 0.0)
-        elif solver == "nystrom":
-            v, w = nystrom_psd(0.5 * (kc + kc.T), self.k, p=self.p,
-                               seed=self.seed)
-        else:
+            solver = "exact" if x.shape[0] <= 1024 else "randomized"
+        if solver not in ("exact", "randomized", "nystrom"):
             raise ValueError(f"unknown solver {solver!r}")
-        self.eigenvalues_ = w
-        self.alphas_ = v
-        self.scores_ = v * jnp.sqrt(w)[None, :]
+        gamma, degree, coef0 = self._params(x.dtype)
+        (self._col_means, self._tot, self.eigenvalues_, self.alphas_,
+         self._inv_sqrt, self.scores_) = _fit_impl(
+            x, self.kernel, gamma, degree, coef0, self.k, solver,
+            self.p, self.seed)
         return self
 
     def transform(self, y) -> jax.Array:
         """Project new rows onto the kernel principal axes:
-        z = K_c(new, train) alphas / sqrt(eigenvalues)."""
-        k_new = kernel_matrix(jnp.asarray(y, self._x.dtype), self._x,
-                              self.kernel, self.gamma, self.degree,
-                              self.coef0)
-        kc = _center_cross(k_new, self._col_means, self._tot)
-        safe = jnp.sqrt(jnp.maximum(self.eigenvalues_, 1e-30))
-        return _mm(kc, self.alphas_) / safe[None, :]
+        z = K_c(new, train) alphas / sqrt(eigenvalues), with
+        rank-deficient components pinned to zero."""
+        gamma, degree, coef0 = self._params(self._x.dtype)
+        return _transform_impl(
+            jnp.asarray(y, self._x.dtype), self._x, self.kernel, gamma,
+            degree, coef0, self._col_means, self._tot, self.alphas_,
+            self._inv_sqrt)
 
     def fit_transform(self, x) -> jax.Array:
-        return np.asarray(self.fit(x).scores_)
+        return self.fit(x).scores_

@@ -22,7 +22,7 @@ lax.scan — one dispatch per estimate, seeds traced.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Tuple
 
 import jax
@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed, rademacher
 
-_HI = jax.lax.Precision.HIGHEST
+from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION as _HI  # noqa: E402
 
 
 def _mv(a, v):
@@ -88,8 +88,12 @@ def slq_trace(a, fn: Callable, seed=0, num_probes: int = 16,
     """tr(f(A)) for symmetric A — f applied to Ritz values only.
 
     ``fn`` must be a traceable elementwise function (e.g. ``jnp.log``,
-    ``lambda x: 1/(x + mu)``).  Rademacher probes (||v||^2 = n exactly)
-    are vmapped: each Lanczos step is one batched GEMM.
+    ``lambda x: 1/(x + mu)``).  ``fn`` is a STATIC jit argument keyed by
+    object identity: pass a stable callable (module-level function,
+    ``jnp.log``, or a cached closure like ``logdet_psd``'s) when calling
+    repeatedly — a fresh inline lambda per call retraces and compiles
+    every time.  Rademacher probes (||v||^2 = n exactly) are vmapped:
+    each Lanczos step is one batched GEMM.
     """
     n = a.shape[0]
     key = key_from_seed(seed)
@@ -103,9 +107,24 @@ def slq_trace(a, fn: Callable, seed=0, num_probes: int = 16,
     return jnp.asarray(float(n), a.dtype) * jnp.mean(quads)
 
 
+@lru_cache(maxsize=64)
+def _logdet_fn(shift: float) -> Callable:
+    """One stable callable per shift so repeated logdet_psd calls hit the
+    same slq_trace jit-cache entry instead of retracing (fn is a static
+    argument keyed by identity)."""
+
+    def fn(x):
+        # dtype-aware floor: a literal like 1e-300 underflows to 0.0 in
+        # f32, which would let log(0) = -inf poison the estimate for
+        # numerically singular A
+        return jnp.log(jnp.maximum(x + shift, jnp.finfo(x.dtype).tiny))
+
+    return fn
+
+
 def logdet_psd(a, seed=0, num_probes: int = 16, steps: int = 30,
                shift: float = 0.0) -> jax.Array:
     """log det(A + shift I) for symmetric positive-definite A via SLQ —
     no Cholesky of A, only `steps` matvecs per probe."""
-    return slq_trace(a, lambda x: jnp.log(jnp.maximum(x + shift, 1e-300)),
+    return slq_trace(a, _logdet_fn(float(shift)),
                      seed=seed, num_probes=num_probes, steps=steps)

@@ -30,7 +30,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed, sketch_mat
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import orthonormal_basis
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _mm
 
-_HI = jax.lax.Precision.HIGHEST
+from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION as _HI  # noqa: E402
 
 
 def _quad_forms(a, g):

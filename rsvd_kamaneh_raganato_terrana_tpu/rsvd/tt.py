@@ -27,15 +27,16 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd._modewise import (
+    mode_contract,
+    mode_spectrum,
+    tighten_contract,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
-    _mm,
     _PRECISIONS,
     generate_omega,
     subspace_iteration,
 )
-
-_HI = jax.lax.Precision.HIGHEST
-
 
 @partial(jax.jit, static_argnames=("ranks", "p", "q", "precision", "shape"))
 def _tt_impl(a_flat, seed, shape: Tuple[int, ...], ranks: Tuple[int, ...],
@@ -53,14 +54,8 @@ def _tt_impl(a_flat, seed, shape: Tuple[int, ...], ranks: Tuple[int, ...],
         omega = generate_omega(seed + 104729 * i, rem.shape[1], l,
                                rem.dtype)
         q_mat = subspace_iteration(rem, omega, q, precision=prec)  # m x l
-        # tighten to exactly r directions via the projected Gram (same
-        # move as tucker.py): descending eigvecs of (Q^T rem)(Q^T rem)^T
-        b = _mm(q_mat.T, rem, prec)                                # l x rest
-        g = _mm(b, b.T, _HI)
-        _, vecs = jnp.linalg.eigh(0.5 * (g + g.T))
-        u = _mm(q_mat, vecs[:, ::-1][:, :r])                       # m x r
+        u, rem = tighten_contract(rem, q_mat, r, prec)  # m x r, r x rest
         cores.append(u.reshape(r_prev, shape[i], r))
-        rem = _mm(u.T, rem, prec)                                  # r x rest
         r_prev = r
     cores.append(rem.reshape(r_prev, shape[-1], 1))
     return tuple(cores)
@@ -134,31 +129,15 @@ def tt_adaptive(
         rem = rem.reshape(m, -1)
         cap = int(min(rank_cap or min(rem.shape), min(rem.shape)))
         l = min(cap + p, min(rem.shape))
-        q_mat, w, vecs, total = _tt_mode_spectrum(
+        q_mat, w, vecs, total = mode_spectrum(
             rem, seed + 104729 * i, l, q)
         w = np.maximum(np.asarray(w, dtype=np.float64), 0.0)
         total = float(np.asarray(total, dtype=np.float64))
         resid = np.maximum(total - np.cumsum(w), 0.0)
         ok = np.nonzero(resid <= (budget * budget) * total)[0]
         r = min(int(ok[0]) + 1 if ok.size else cap, cap)
-        u, rem = _tt_mode_contract(rem, q_mat, vecs, r)
+        u, rem = mode_contract(rem, q_mat, vecs, r)
         cores.append(u.reshape(r_prev, a.shape[i], r))
         r_prev = r
     cores.append(rem.reshape(r_prev, a.shape[-1], 1))
     return tuple(cores), tt_ranks(cores)
-
-
-@partial(jax.jit, static_argnames=("l", "q"))
-def _tt_mode_spectrum(rem, seed, l: int, q: int):
-    omega = generate_omega(seed, rem.shape[1], l, rem.dtype)
-    q_mat = subspace_iteration(rem, omega, q)
-    b = _mm(q_mat.T, rem, _HI)
-    g = _mm(b, b.T, _HI)
-    w, vecs = jnp.linalg.eigh(0.5 * (g + g.T))
-    return q_mat, w[::-1], vecs[:, ::-1], jnp.sum(jnp.square(rem))
-
-
-@partial(jax.jit, static_argnames=("r",))
-def _tt_mode_contract(rem, q_mat, vecs, r: int):
-    u = _mm(q_mat, vecs[:, :r])
-    return u, _mm(u.T, rem, _HI)

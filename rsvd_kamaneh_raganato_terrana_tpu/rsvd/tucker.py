@@ -28,15 +28,19 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import orthonormal_basis
+from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd._modewise import (
+    mode_contract,
+    mode_spectrum,
+    tighten_contract,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
-    _mm,
     _PRECISIONS,
     generate_omega,
     subspace_iteration,
 )
 
-_HI = jax.lax.Precision.HIGHEST
+_HI = DOT_PRECISION
 
 
 def _unfold(t, mode: int):
@@ -75,16 +79,9 @@ def _tucker_impl(a, seed, ranks: Tuple[int, ...], p: int, q: int,
         omega = generate_omega(seed + 7919 * mode, unf.shape[1], l,
                                unf.dtype)
         q_mat = subspace_iteration(unf, omega, q, precision=prec)
-        # tighten the oversampled basis to exactly r_mode directions:
-        # small l x l Gram-eigh of the projected unfolding
-        b = _mm(q_mat.T, unf, prec)                # l x rest
-        g = _mm(b, b.T, _HI)
-        _, vecs = jnp.linalg.eigh(0.5 * (g + g.T))
-        u_small = vecs[:, ::-1][:, : ranks[mode]]  # l x r, descending
-        u = _mm(q_mat, u_small)                    # n_mode x r
+        u, contracted = tighten_contract(unf, q_mat, ranks[mode], prec)
         factors.append((mode, u))
-        core = _fold(_mm(u.T, unf, prec), mode,
-                     core.shape)                   # mode axis -> r_mode
+        core = _fold(contracted, mode, core.shape)  # mode axis -> r_mode
     factors.sort(key=lambda t: t[0])
     return core, tuple(u for _, u in factors)
 
@@ -98,8 +95,14 @@ def tucker(
     precision: str = "highest",
 ):
     """Randomized Tucker: returns ``(core, factors)`` with
-    ``core.shape == tuple(ranks)`` and ``factors[i].shape == (a.shape[i],
-    ranks[i])``, each factor orthonormal.
+    ``core.shape == tuple(r_eff)`` and ``factors[i].shape ==
+    (a.shape[i], r_eff[i])``, each factor orthonormal.  ``r_eff`` is
+    ``ranks`` clipped to what each mode's unfolding can support: a
+    mode's rank can never exceed min(n_i, product of the OTHER modes'
+    dims as they stand when that mode is processed — earlier modes are
+    already contracted to their ranks).  Over-asked ranks are therefore
+    clipped deterministically, never silently padded; read the effective
+    ranks off ``core.shape``.
 
     ``p``/``q``/``precision`` are the rSVD stage-A knobs (oversampling,
     power iterations, MXU pass count) applied per mode.
@@ -107,8 +110,18 @@ def tucker(
     a = jnp.asarray(a)
     if len(ranks) != a.ndim:
         raise ValueError(f"need {a.ndim} ranks, got {len(ranks)}")
-    ranks = tuple(int(min(r, s)) for r, s in zip(ranks, a.shape))
-    return _tucker_impl(a, seed, ranks, p, q, precision)
+    # mirror _tucker_impl's processing order (decreasing size) so the
+    # clip accounts for already-contracted modes shrinking the unfolding
+    eff = [int(min(r, n)) for r, n in zip(ranks, a.shape)]
+    cur = list(a.shape)
+    for mode in sorted(range(a.ndim), key=lambda i: -a.shape[i]):
+        rest = 1
+        for j, s in enumerate(cur):
+            if j != mode:
+                rest *= s
+        eff[mode] = min(eff[mode], rest)
+        cur[mode] = eff[mode]
+    return _tucker_impl(a, seed, tuple(eff), p, q, precision)
 
 
 def tucker_reconstruct(core, factors, precision=_HI):
@@ -117,25 +130,6 @@ def tucker_reconstruct(core, factors, precision=_HI):
     for mode, u in enumerate(factors):
         out = mode_dot(out, u, mode, precision)
     return out
-
-
-# jitted per-mode pieces of tucker_adaptive: eager op-by-op dispatch costs
-# ~30-80 ms per primitive through a relay transport (CLAUDE.md rule)
-@partial(jax.jit, static_argnames=("l", "q"))
-def _adaptive_mode_spectrum(unf, seed, l: int, q: int):
-    omega = generate_omega(seed, unf.shape[1], l, unf.dtype)
-    q_mat = subspace_iteration(unf, omega, q)
-    b = _mm(q_mat.T, unf, _HI)
-    g = _mm(b, b.T, _HI)
-    w, vecs = jnp.linalg.eigh(0.5 * (g + g.T))
-    total = jnp.sum(jnp.square(unf))
-    return q_mat, w[::-1], vecs[:, ::-1], total
-
-
-@partial(jax.jit, static_argnames=("r",))
-def _adaptive_mode_contract(unf, q_mat, vecs, r: int):
-    u = _mm(q_mat, vecs[:, :r])
-    return u, _mm(u.T, unf, _HI)
 
 
 def tucker_adaptive(
@@ -166,14 +160,14 @@ def tucker_adaptive(
         unf = _unfold(core, mode)
         cap = int(min(caps[mode], min(unf.shape)))
         l = min(cap + p, min(unf.shape))
-        q_mat, w, vecs, total = _adaptive_mode_spectrum(
+        q_mat, w, vecs, total = mode_spectrum(
             unf, seed + 7919 * mode, l, q)
         w = np.maximum(np.asarray(w, dtype=np.float64), 0.0)
         total = float(np.asarray(total, dtype=np.float64))
         resid = np.maximum(total - np.cumsum(w), 0.0)
         ok = np.nonzero(resid <= (budget * budget) * total)[0]
         r = min(int(ok[0]) + 1 if ok.size else cap, cap)
-        u, contracted = _adaptive_mode_contract(unf, q_mat, vecs, r)
+        u, contracted = mode_contract(unf, q_mat, vecs, r)
         factors[mode] = u
         core = _fold(contracted, mode, core.shape)
     return core, tuple(factors), tuple(f.shape[1] for f in factors)

@@ -94,6 +94,20 @@ class TestKernelPCA:
                   np.mean((z0 > thr) != labels))
         assert acc > 0.95
 
+    def test_rank_deficient_components_are_zero(self):
+        # centered linear kernel of 2-D data has rank <= 2; asking for 10
+        # components must yield ZERO scores/transforms past the rank, not
+        # 1/sqrt(eps) garbage
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((30, 2))
+        kp = KernelPCA(10, kernel="linear", solver="exact").fit(x)
+        lam = np.asarray(kp.eigenvalues_)
+        assert np.all(lam[3:] == 0.0)
+        z = np.asarray(kp.transform(x[:5]))
+        assert np.all(np.isfinite(z))
+        assert np.abs(z[:, 3:]).max() == 0.0
+        assert np.abs(z[:, :2]).max() > 0.1   # real components still live
+
     def test_unknown_kernel_or_solver_raises(self):
         x = _two_rings(30)
         with pytest.raises(ValueError):

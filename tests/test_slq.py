@@ -63,6 +63,17 @@ class TestSLQ:
                               seed=2, num_probes=48, steps=25))
         assert abs(est - true) < 0.05 * true
 
+    def test_logdet_does_not_retrace_per_call(self):
+        # logdet_psd's fn is a static jit arg: repeated calls with the
+        # same shift must reuse one cache entry, not grow the jit cache
+        a, _ = _spd(40, seed=8)
+        aj = jnp.asarray(a)
+        logdet_psd(aj, num_probes=2, steps=4)
+        before = slq_trace._cache_size()
+        logdet_psd(aj, num_probes=2, steps=4)
+        logdet_psd(aj, num_probes=2, steps=4)
+        assert slq_trace._cache_size() == before
+
     def test_seed_determinism(self):
         a, _ = _spd(60, seed=7)
         e1 = float(slq_trace(jnp.asarray(a), jnp.exp, seed=3,

@@ -81,6 +81,15 @@ class TestTucker:
         with pytest.raises(ValueError):
             tucker(np.zeros((3, 3, 3)), (2, 2))
 
+    def test_over_asked_ranks_clip_consistently(self):
+        # mode 0's unfolding shrinks to 2x2=4 columns once the other two
+        # modes are contracted first — the returned core/factors must
+        # agree on the clipped rank, never silently mismatch
+        t = np.random.default_rng(8).standard_normal((6, 50, 50))
+        core, factors = tucker(t, (30, 2, 2))
+        assert core.shape == (4, 2, 2)
+        assert [f.shape for f in factors] == [(6, 4), (50, 2), (50, 2)]
+
 
 class TestVideoTucker:
     def test_temporal_redundancy_beats_per_frame(self):
