@@ -12,6 +12,11 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     rsvd_with_omega,
     subspace_iteration,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.cp import (  # noqa: F401
+    cp_decompose,
+    cp_reconstruct,
+    khatri_rao,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.fd import (  # noqa: F401
     FrequentDirections,
 )

@@ -1,0 +1,130 @@
+"""CP (canonical polyadic) decomposition by ALS — the third tensor format.
+
+Next to Tucker (rsvd/tucker.py: orthogonal subspaces per mode) and the
+tensor train (rsvd/tt.py: linear-in-d cores), CP expresses a tensor as a
+sum of `rank` outer products — the format of interpretable latent-factor
+models.  A ~ sum_r w_r * f^(1)_r o f^(2)_r o ... o f^(d)_r.
+
+Algorithm: alternating least squares where each mode update is the
+classic normal-equation form over the Khatri-Rao product,
+
+    F_i <- A_(i) * KR(F_d..F_1, skip i) * pinv( had_{j != i} F_j^T F_j ),
+
+i.e. one big GEMM against the unfolding, an r x r Hadamard-of-Grams
+solve, and a column renormalization — all MXU/GEMM work.  The whole
+fixed-iteration ALS runs inside ONE jitted program (`lax.fori_loop`;
+static shapes: the Khatri-Rao is a reshape of a broadcasted product, no
+data-dependent control flow).  Initialization is randomized (rSVD range
+finder per mode — the HOSVD-style init that makes ALS converge in a few
+sweeps on well-posed problems, vs random init's long plateaus).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd._modewise import tighten_contract
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+    _mm,
+    generate_omega,
+    subspace_iteration,
+)
+
+
+def _unfold(t, mode: int):
+    return jnp.moveaxis(t, mode, 0).reshape(t.shape[mode], -1)
+
+
+def khatri_rao(mats: Sequence[jax.Array]) -> jax.Array:
+    """Column-wise Khatri-Rao product, C-order nesting (first factor
+    varies slowest) — matches `_unfold`'s row-major flattening."""
+    out = mats[0]
+    r = out.shape[1]
+    for m in mats[1:]:
+        out = (out[:, None, :] * m[None, :, :]).reshape(-1, r)
+    return out
+
+
+@partial(jax.jit, static_argnames=("rank", "iters"))
+def _cp_als_impl(a, seed, rank: int, iters: int):
+    d = a.ndim
+    shape = a.shape
+    unfolds = [_unfold(a, i) for i in range(d)]
+
+    # rSVD-subspace init per mode: F_i = top-r left singular directions of
+    # the unfolding (HOSVD-style), far better conditioned than random init
+    factors = []
+    for i in range(d):
+        unf = unfolds[i]
+        r_i = min(rank, min(unf.shape))
+        omega = generate_omega(seed + 31 * i, unf.shape[1], r_i, a.dtype)
+        q_mat = subspace_iteration(unf, omega, q=1)
+        u, _ = tighten_contract(unf, q_mat, r_i, DOT_PRECISION)
+        if r_i < rank:  # pad with deterministic pseudo-random columns
+            extra = generate_omega(seed + 97 * i, shape[i], rank - r_i,
+                                   a.dtype)
+            u = jnp.concatenate([u, extra / jnp.sqrt(float(shape[i]))],
+                                axis=1)
+        factors.append(u)
+
+    eps = jnp.asarray(1e-30, a.dtype)
+
+    def sweep(_, fs):
+        for i in range(d):
+            others = [fs[j] for j in range(d) if j != i]
+            kr = khatri_rao(others)                         # prod n_j x r
+            g = jnp.ones((rank, rank), a.dtype)
+            for f in others:
+                g = g * _mm(f.T, f)                         # Hadamard Grams
+            mttkrp = _mm(unfolds[i], kr)                    # n_i x r
+            # solve F_i g = mttkrp via a regularized symmetric solve
+            g = g + jnp.finfo(a.dtype).eps * jnp.trace(g) * jnp.eye(
+                rank, dtype=a.dtype)
+            f_new = jax.scipy.linalg.solve(g.T, mttkrp.T,
+                                           assume_a="pos").T
+            # renormalize columns (weights are re-absorbed on the last
+            # mode each sweep, the standard CP-ALS convention)
+            if i < d - 1:
+                norms = jnp.maximum(
+                    jnp.linalg.norm(f_new, axis=0), eps)
+                f_new = f_new / norms[None, :]
+            fs = fs[:i] + [f_new] + fs[i + 1:]
+        return fs
+
+    factors = jax.lax.fori_loop(0, iters, sweep, factors)
+    # extract weights from the last mode and sort descending
+    last = factors[-1]
+    weights = jnp.linalg.norm(last, axis=0)
+    last = last / jnp.maximum(weights, eps)[None, :]
+    order = jnp.argsort(-weights)
+    weights = weights[order]
+    factors = [f[:, order] for f in factors[:-1]] + [last[:, order]]
+    return weights, tuple(factors)
+
+
+def cp_decompose(
+    a,
+    rank: int,
+    iters: int = 25,
+    seed: int = 0,
+) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """CP-ALS: returns ``(weights: rank, factors)`` with
+    ``factors[i].shape == (a.shape[i], rank)``, unit-norm columns, and
+    weights descending.  Fixed ``iters`` ALS sweeps in one jitted
+    program."""
+    a = jnp.asarray(a)
+    if a.ndim < 2:
+        raise ValueError("cp_decompose needs a tensor of ndim >= 2")
+    return _cp_als_impl(a, seed, int(rank), int(iters))
+
+
+def cp_reconstruct(weights, factors):
+    """Sum of outer products back to the full tensor."""
+    kr = khatri_rao(list(factors[1:]))               # prod n_j x r
+    lead = factors[0] * weights[None, :]
+    return _mm(lead, kr.T).reshape([f.shape[0] for f in factors])
