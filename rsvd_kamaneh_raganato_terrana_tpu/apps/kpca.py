@@ -183,3 +183,30 @@ class KernelPCA:
 
     def fit_transform(self, x) -> jax.Array:
         return self.fit(x).scores_
+
+
+@partial(jax.jit, static_argnames=("n_features",))
+def rff_features(x, n_features: int = 256, gamma: float = 1.0, seed=0
+                 ) -> jax.Array:
+    """Random Fourier features for the RBF kernel (Rahimi-Recht 2007):
+    z(x) (n x D) with E[z(x) z(y)^T] = exp(-gamma ||x - y||^2), error
+    O(1/sqrt(D)) uniformly.
+
+    The scalable companion to :class:`KernelPCA`: where the exact kernel
+    Gram is n x n, RFF maps the data to an explicit D-dimensional feature
+    space — run LINEAR PCA (apps/pca.py, rSVD fast path) or any linear
+    model on z(x) and the kernel is approximated without ever forming the
+    Gram.  One GEMM + cos, MXU-dense, deterministic in the seed.
+    """
+    from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed
+
+    x = jnp.asarray(x)
+    kw, kb = jax.random.split(key_from_seed(seed))
+    # k(x,y) = exp(-gamma d^2) is the Gaussian kernel with sigma^2 =
+    # 1/(2 gamma); its spectral measure is N(0, 2 gamma I)
+    w = jax.random.normal(kw, (x.shape[1], n_features), x.dtype) * \
+        jnp.sqrt(jnp.asarray(2.0 * gamma, x.dtype))
+    b = jax.random.uniform(kb, (n_features,), x.dtype, 0.0,
+                           2.0 * jnp.pi)
+    proj = _mm(x, w) + b[None, :]
+    return jnp.sqrt(jnp.asarray(2.0 / n_features, x.dtype)) * jnp.cos(proj)

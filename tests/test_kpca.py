@@ -7,6 +7,7 @@ import pytest
 from rsvd_kamaneh_raganato_terrana_tpu.apps.kpca import (
     KernelPCA,
     kernel_matrix,
+    rff_features,
 )
 
 
@@ -114,3 +115,22 @@ class TestKernelPCA:
             KernelPCA(2, kernel="sigmoidish").fit(x)
         with pytest.raises(ValueError):
             KernelPCA(2, solver="magic").fit(x)
+
+
+class TestRFF:
+    def test_inner_products_approximate_rbf_kernel(self):
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((60, 4))
+        gamma = 0.3
+        z = np.asarray(rff_features(x, n_features=8192, gamma=gamma,
+                                    seed=0))
+        approx = z @ z.T
+        exact = np.asarray(kernel_matrix(x, x, "rbf", gamma=gamma))
+        assert np.abs(approx - exact).max() < 0.05
+
+    def test_deterministic_and_shaped(self):
+        x = np.random.default_rng(10).standard_normal((7, 3))
+        z1 = np.asarray(rff_features(x, n_features=64, gamma=1.0, seed=5))
+        z2 = np.asarray(rff_features(x, n_features=64, gamma=1.0, seed=5))
+        assert z1.shape == (7, 64)
+        np.testing.assert_array_equal(z1, z2)
