@@ -17,6 +17,12 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.cp import (  # noqa: F401
     cp_reconstruct,
     khatri_rao,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.diagnostics import (  # noqa: F401
+    factorization_error_estimate,
+    principal_angles,
+    range_error_estimate,
+    subspace_distance,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.fd import (  # noqa: F401
     FrequentDirections,
 )

@@ -1,0 +1,79 @@
+"""Posterior error certificates and subspace diagnostics
+(rsvd/diagnostics.py): the bound must HOLD (upper bound) and be TIGHT
+(within its 10x-ish factor), angles must match the exact cos-SVD."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.diagnostics import (
+    factorization_error_estimate,
+    principal_angles,
+    range_error_estimate,
+    subspace_distance,
+)
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+
+
+def _decaying(m, n, seed=0, decay=0.5):
+    rng = np.random.default_rng(seed)
+    u, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = decay ** np.arange(n)
+    return (u * s[None, :]) @ v.T
+
+
+class TestErrorCertificates:
+    def test_range_bound_holds_and_is_tight(self):
+        a = _decaying(300, 80, seed=0)
+        u, s, v = rsvd(a, k=10, p=6, q=1, method="eigh", seed=0)
+        q_mat = np.asarray(u)  # orthonormal basis for the captured range
+        true = np.linalg.norm(a - q_mat @ (q_mat.T @ a), 2)
+        est = float(range_error_estimate(jnp.asarray(a),
+                                         jnp.asarray(q_mat), seed=1))
+        assert est >= true * (1 - 1e-9)          # it is an upper bound
+        assert est <= 40.0 * true + 1e-12        # and not vacuous
+
+    def test_factorization_bound_holds(self):
+        a = _decaying(200, 60, seed=1)
+        u, s, v = rsvd(a, k=8, p=8, q=2, method="eigh", seed=0)
+        rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+        true = np.linalg.norm(a - rec, 2)
+        est = float(factorization_error_estimate(
+            jnp.asarray(a), u, s, v, seed=2))
+        assert est >= true * (1 - 1e-9)
+        assert est <= 40.0 * true + 1e-12
+
+    def test_exact_factorization_certifies_zero(self):
+        rng = np.random.default_rng(2)
+        u0, _ = np.linalg.qr(rng.standard_normal((50, 5)))
+        v0, _ = np.linalg.qr(rng.standard_normal((20, 5)))
+        s0 = np.array([5.0, 4.0, 3.0, 2.0, 1.0])
+        a = (u0 * s0[None, :]) @ v0.T
+        est = float(factorization_error_estimate(
+            jnp.asarray(a), jnp.asarray(u0), jnp.asarray(s0),
+            jnp.asarray(v0), seed=0))
+        assert est < 1e-10
+
+
+class TestPrincipalAngles:
+    def test_identical_spans_zero_angles(self):
+        rng = np.random.default_rng(3)
+        u = np.linalg.qr(rng.standard_normal((40, 4)))[0]
+        rot = np.linalg.qr(rng.standard_normal((4, 4)))[0]
+        ang, cos = principal_angles(jnp.asarray(u), jnp.asarray(u @ rot))
+        np.testing.assert_allclose(np.asarray(ang), 0.0, atol=1e-7)
+        assert float(subspace_distance(u, u @ rot)) < 1e-7
+
+    def test_orthogonal_spans_right_angles(self):
+        e1 = np.eye(10)[:, :3]
+        e2 = np.eye(10)[:, 3:6]
+        ang, _ = principal_angles(jnp.asarray(e1), jnp.asarray(e2))
+        np.testing.assert_allclose(np.asarray(ang), np.pi / 2, atol=1e-7)
+        assert abs(float(subspace_distance(e1, e2)) - 1.0) < 1e-7
+
+    def test_known_single_angle(self):
+        theta = 0.3
+        u = np.array([[1.0], [0.0]])
+        v = np.array([[np.cos(theta)], [np.sin(theta)]])
+        ang, _ = principal_angles(jnp.asarray(u), jnp.asarray(v))
+        np.testing.assert_allclose(float(ang[0]), theta, rtol=1e-7)
