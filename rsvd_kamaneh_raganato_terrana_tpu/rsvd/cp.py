@@ -27,6 +27,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed
 from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd._modewise import tighten_contract
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
@@ -107,20 +108,104 @@ def _cp_als_impl(a, seed, rank: int, iters: int):
     return weights, tuple(factors)
 
 
+@partial(jax.jit, static_argnames=("rank", "iters", "num_samples"))
+def _cp_rand_impl(a, seed, rank: int, iters: int, num_samples: int):
+    """CPRAND (Battaglino-Ballard-Kolda 2018): each mode update solves a
+    FIBER-SAMPLED least squares — S rows of the Khatri-Rao product are
+    materialized directly as Hadamard products of factor rows (never the
+    full prod-n x r KR), and the matching S fibers of the tensor are
+    gathered from the unfolding.  Per sweep: d gathers + d (n_i x S)(S x
+    r) GEMMs, independent of prod(n)."""
+    d = a.ndim
+    shape = a.shape
+    unfolds = [_unfold(a, i) for i in range(d)]
+
+    factors = []
+    for i in range(d):
+        unf = unfolds[i]
+        r_i = min(rank, min(unf.shape))
+        omega = generate_omega(seed + 31 * i, unf.shape[1], r_i, a.dtype)
+        q_mat = subspace_iteration(unf, omega, q=1)
+        u, _ = tighten_contract(unf, q_mat, r_i, DOT_PRECISION)
+        if r_i < rank:
+            extra = generate_omega(seed + 97 * i, shape[i], rank - r_i,
+                                   a.dtype)
+            u = jnp.concatenate([u, extra / jnp.sqrt(float(shape[i]))],
+                                axis=1)
+        factors.append(u)
+
+    eps = jnp.asarray(1e-30, a.dtype)
+    key0 = jax.random.fold_in(key_from_seed(seed), 12345)
+
+    def sweep(it, fs):
+        for i in range(d):
+            others = [j for j in range(d) if j != i]
+            key = jax.random.fold_in(jax.random.fold_in(key0, it), i)
+            # one uniform multi-index per sample for each other mode
+            ks = jax.random.split(key, d - 1)
+            idxs = [jax.random.randint(ks[t], (num_samples,), 0,
+                                       shape[j])
+                    for t, j in enumerate(others)]
+            # sampled KR rows: Hadamard product of the factor rows
+            kr_s = jnp.ones((num_samples, rank), a.dtype)
+            for t, j in enumerate(others):
+                kr_s = kr_s * fs[j][idxs[t]]
+            # matching unfolding columns (C-order ravel over other modes)
+            col = jnp.zeros((num_samples,), jnp.int32)
+            for t, j in enumerate(others):
+                col = col * shape[j] + idxs[t].astype(jnp.int32)
+            a_s = unfolds[i][:, col]                       # n_i x S
+            g = _mm(kr_s.T, kr_s)
+            g = g + jnp.finfo(a.dtype).eps * (
+                jnp.trace(g) + 1.0) * jnp.eye(rank, dtype=a.dtype)
+            f_new = jax.scipy.linalg.solve(
+                g.T, _mm(a_s, kr_s).T, assume_a="pos").T
+            if i < d - 1:
+                norms = jnp.maximum(jnp.linalg.norm(f_new, axis=0), eps)
+                f_new = f_new / norms[None, :]
+            fs = fs[:i] + [f_new] + fs[i + 1:]
+        return fs
+
+    factors = jax.lax.fori_loop(0, iters, sweep, factors)
+    last = factors[-1]
+    weights = jnp.linalg.norm(last, axis=0)
+    last = last / jnp.maximum(weights, eps)[None, :]
+    order = jnp.argsort(-weights)
+    return weights[order], tuple(
+        [f[:, order] for f in factors[:-1]] + [last[:, order]])
+
+
 def cp_decompose(
     a,
     rank: int,
     iters: int = 25,
     seed: int = 0,
+    method: str = "als",
+    num_samples: int = 0,
 ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
-    """CP-ALS: returns ``(weights: rank, factors)`` with
+    """CP: returns ``(weights: rank, factors)`` with
     ``factors[i].shape == (a.shape[i], rank)``, unit-norm columns, and
-    weights descending.  Fixed ``iters`` ALS sweeps in one jitted
-    program."""
+    weights descending.  Fixed ``iters`` sweeps in one jitted program.
+
+    ``method='als'`` is exact alternating least squares (per sweep cost
+    ~ d * prod(n) * rank); ``method='rand'`` is CPRAND — fiber-sampled
+    updates whose per-sweep cost is independent of prod(n)
+    (``num_samples`` rows, default 10 * rank * log2-ish heuristic
+    4 * rank + 64).  Use 'rand' when the tensor is large and 'als' when
+    accuracy per sweep matters more than sweep cost."""
     a = jnp.asarray(a)
     if a.ndim < 2:
         raise ValueError("cp_decompose needs a tensor of ndim >= 2")
-    return _cp_als_impl(a, seed, int(rank), int(iters))
+    if method == "als":
+        return _cp_als_impl(a, seed, int(rank), int(iters))
+    if method == "rand":
+        s = int(num_samples) if num_samples else 4 * int(rank) + 64
+        import numpy as _np
+
+        max_fibers = int(_np.prod(a.shape)) // max(min(a.shape), 1)
+        s = max(min(s, max_fibers), int(rank))
+        return _cp_rand_impl(a, seed, int(rank), int(iters), s)
+    raise ValueError(f"unknown method {method!r}")
 
 
 def cp_reconstruct(weights, factors):

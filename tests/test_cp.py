@@ -67,3 +67,23 @@ class TestCP:
     def test_ndim_guard(self):
         with pytest.raises(ValueError):
             cp_decompose(np.zeros(5), 2)
+        with pytest.raises(ValueError):
+            cp_decompose(np.zeros((3, 3)), 2, method="magic")
+
+
+class TestCPRAND:
+    def test_fiber_sampled_recovers_cp_tensor(self):
+        t = _cp_tensor((16, 14, 12), 3, seed=6)
+        w, factors = cp_decompose(t, 3, iters=60, seed=0, method="rand",
+                                  num_samples=96)
+        rec = np.asarray(cp_reconstruct(w, factors))
+        assert np.linalg.norm(rec - t) / np.linalg.norm(t) < 1e-3
+
+    def test_rand_conventions_match_als(self):
+        t = _cp_tensor((10, 9, 8), 2, seed=7)
+        w, factors = cp_decompose(t, 2, iters=40, method="rand")
+        w = np.asarray(w)
+        assert w[0] >= w[1] > 0
+        for f in factors:
+            np.testing.assert_allclose(
+                np.linalg.norm(np.asarray(f), axis=0), 1.0, rtol=1e-5)
