@@ -114,6 +114,7 @@ def sketch_lstsq(
     iters: int = 40,
     seed: int = 0,
     kind: str = "gaussian",
+    damp: float = 0.0,
 ) -> jax.Array:
     """Solve min_x ||A x - b||_2 for tall A via sketched preconditioning.
 
@@ -124,13 +125,26 @@ def sketch_lstsq(
     GEMVs against A plus two triangular solves).  ``kind='sparse'``
     switches the sketch to the OSNAP sparse sign embedding
     (ops/sketching.py): O(t m n) instead of the 4 m n^2 dense-sketch
-    GEMM — the right choice for very tall problems.
+    GEMM — the right choice for very tall problems.  ``damp > 0`` solves
+    the RIDGE problem min ||A x - b||^2 + damp ||x||^2 (Tikhonov), via
+    the standard augmentation [A; sqrt(damp) I] — preconditioner and
+    iteration see the regularized operator, so conditioning only
+    improves.
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b, dtype=a.dtype)
     m, n = a.shape
     if m < n:
         raise ValueError(f"need tall A (m >= n), got {a.shape}")
+    if damp < 0:
+        raise ValueError(f"damp must be >= 0, got {damp}")
+    if damp > 0:
+        a = jnp.concatenate(
+            [a, jnp.sqrt(jnp.asarray(damp, a.dtype)) *
+             jnp.eye(n, dtype=a.dtype)], axis=0)
+        b = jnp.concatenate(
+            [b, jnp.zeros((n,) + b.shape[1:], dtype=a.dtype)], axis=0)
+        m = m + n
     s = int(min(m, sketch_size if sketch_size is not None else 4 * n))
     if s < n:
         raise ValueError(f"sketch_size {s} < n {n} cannot precondition")

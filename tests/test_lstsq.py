@@ -61,6 +61,25 @@ class TestSketchLstsq:
         x1 = np.asarray(sketch_lstsq(a, b, seed=12345))
         np.testing.assert_allclose(x0, x1, rtol=1e-9, atol=1e-11)
 
+    def test_ridge_matches_normal_equations(self):
+        a = _tall(400, 20, cond=1e4, seed=10)
+        b = np.random.default_rng(11).standard_normal(400)
+        lam = 0.1
+        x = np.asarray(sketch_lstsq(a, b, damp=lam, seed=0))
+        x_ne = np.linalg.solve(a.T @ a + lam * np.eye(20), a.T @ b)
+        np.testing.assert_allclose(x, x_ne, rtol=1e-8, atol=1e-10)
+
+    def test_ridge_shrinks_norm(self):
+        a = _tall(200, 10, seed=12)
+        b = np.random.default_rng(13).standard_normal(200)
+        x0 = np.asarray(sketch_lstsq(a, b))
+        x1 = np.asarray(sketch_lstsq(a, b, damp=10.0))
+        assert np.linalg.norm(x1) < np.linalg.norm(x0)
+
+    def test_negative_damp_raises(self):
+        with pytest.raises(ValueError):
+            sketch_lstsq(np.zeros((20, 5)), np.zeros(20), damp=-1.0)
+
     def test_shape_validation(self):
         with pytest.raises(ValueError):
             sketch_lstsq(np.zeros((5, 10)), np.zeros(5))
