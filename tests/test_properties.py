@@ -19,7 +19,10 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
     rsvd_streaming_onepass,
 )
 
-COMMON = dict(deadline=None, max_examples=8, print_blob=True)
+# max_examples=6: the suite budget is ~7 min (CLAUDE.md); each example
+# re-runs a full pipeline and the shape buckets are what catch bugs, not
+# the example count — 6 keeps every bucket visited at ~25% less cost
+COMMON = dict(deadline=None, max_examples=6, print_blob=True)
 
 
 @given(n=st.integers(2, 40))

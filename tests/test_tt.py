@@ -59,9 +59,9 @@ class TestTT:
     def test_quantized_reshape_compresses_smooth_signal(self):
         # the classic QTT use case: a smooth 1-D signal reshaped to
         # 2x2x...x2 has tiny TT ranks
-        x = np.linspace(0, 1, 2 ** 10)
+        x = np.linspace(0, 1, 2 ** 8)
         sig = np.exp(-3 * x) * np.sin(7 * np.pi * x)
-        t = sig.reshape((2,) * 10)
+        t = sig.reshape((2,) * 8)
         cores, ranks = tt_adaptive(t, tol=1e-8, rank_cap=16)
         rec = np.asarray(tt_reconstruct(cores)).reshape(-1)
         assert np.linalg.norm(rec - sig) / np.linalg.norm(sig) < 1e-7
