@@ -51,28 +51,51 @@ def khatri_rao(mats: Sequence[jax.Array]) -> jax.Array:
     return out
 
 
-@partial(jax.jit, static_argnames=("rank", "iters"))
-def _cp_als_impl(a, seed, rank: int, iters: int):
-    d = a.ndim
-    shape = a.shape
-    unfolds = [_unfold(a, i) for i in range(d)]
-
-    # rSVD-subspace init per mode: F_i = top-r left singular directions of
-    # the unfolding (HOSVD-style), far better conditioned than random init
+def _cp_init(a, seed, rank: int):
+    """rSVD-subspace init per mode: F_i = top-r left singular directions
+    of the unfolding (HOSVD-style), far better conditioned than random
+    init; padded with deterministic pseudo-random columns when a mode
+    can't support the full rank.  Unfoldings are transient here — not
+    captured by the sweep closures."""
     factors = []
-    for i in range(d):
-        unf = unfolds[i]
+    for i in range(a.ndim):
+        unf = _unfold(a, i)
         r_i = min(rank, min(unf.shape))
         omega = generate_omega(seed + 31 * i, unf.shape[1], r_i, a.dtype)
         q_mat = subspace_iteration(unf, omega, q=1)
         u, _ = tighten_contract(unf, q_mat, r_i, DOT_PRECISION)
-        if r_i < rank:  # pad with deterministic pseudo-random columns
-            extra = generate_omega(seed + 97 * i, shape[i], rank - r_i,
+        if r_i < rank:
+            extra = generate_omega(seed + 97 * i, a.shape[i], rank - r_i,
                                    a.dtype)
-            u = jnp.concatenate([u, extra / jnp.sqrt(float(shape[i]))],
+            u = jnp.concatenate([u, extra / jnp.sqrt(float(a.shape[i]))],
                                 axis=1)
         factors.append(u)
+    return factors
 
+
+def _regularize(g, rank: int, dtype):
+    """Symmetric-solve floor: eps * (trace + 1) — the absolute +1 keeps
+    the solve nonsingular even for an all-zero Gram (zero tensor /
+    collapsed factor), which would otherwise NaN the decomposition."""
+    return g + jnp.finfo(dtype).eps * (jnp.trace(g) + 1.0) * jnp.eye(
+        rank, dtype=dtype)
+
+
+def _cp_finalize(factors, eps):
+    """Extract weights from the last mode, sort descending."""
+    last = factors[-1]
+    weights = jnp.linalg.norm(last, axis=0)
+    last = last / jnp.maximum(weights, eps)[None, :]
+    order = jnp.argsort(-weights)
+    return weights[order], tuple(
+        [f[:, order] for f in factors[:-1]] + [last[:, order]])
+
+
+@partial(jax.jit, static_argnames=("rank", "iters"))
+def _cp_als_impl(a, seed, rank: int, iters: int):
+    d = a.ndim
+    unfolds = [_unfold(a, i) for i in range(d)]
+    factors = _cp_init(a, seed, rank)
     eps = jnp.asarray(1e-30, a.dtype)
 
     def sweep(_, fs):
@@ -83,9 +106,7 @@ def _cp_als_impl(a, seed, rank: int, iters: int):
             for f in others:
                 g = g * _mm(f.T, f)                         # Hadamard Grams
             mttkrp = _mm(unfolds[i], kr)                    # n_i x r
-            # solve F_i g = mttkrp via a regularized symmetric solve
-            g = g + jnp.finfo(a.dtype).eps * jnp.trace(g) * jnp.eye(
-                rank, dtype=a.dtype)
+            g = _regularize(g, rank, a.dtype)
             f_new = jax.scipy.linalg.solve(g.T, mttkrp.T,
                                            assume_a="pos").T
             # renormalize columns (weights are re-absorbed on the last
@@ -98,14 +119,7 @@ def _cp_als_impl(a, seed, rank: int, iters: int):
         return fs
 
     factors = jax.lax.fori_loop(0, iters, sweep, factors)
-    # extract weights from the last mode and sort descending
-    last = factors[-1]
-    weights = jnp.linalg.norm(last, axis=0)
-    last = last / jnp.maximum(weights, eps)[None, :]
-    order = jnp.argsort(-weights)
-    weights = weights[order]
-    factors = [f[:, order] for f in factors[:-1]] + [last[:, order]]
-    return weights, tuple(factors)
+    return _cp_finalize(factors, eps)
 
 
 @partial(jax.jit, static_argnames=("rank", "iters", "num_samples"))
@@ -113,27 +127,21 @@ def _cp_rand_impl(a, seed, rank: int, iters: int, num_samples: int):
     """CPRAND (Battaglino-Ballard-Kolda 2018): each mode update solves a
     FIBER-SAMPLED least squares — S rows of the Khatri-Rao product are
     materialized directly as Hadamard products of factor rows (never the
-    full prod-n x r KR), and the matching S fibers of the tensor are
-    gathered from the unfolding.  Per sweep: d gathers + d (n_i x S)(S x
-    r) GEMMs, independent of prod(n)."""
+    full prod-n x r KR), and the matching S tensor fibers are gathered
+    straight from the flat tensor (no per-mode unfolding copies live
+    through the loop: peak memory stays ~one tensor).  Per sweep: d
+    gathers + d (n_i x S)(S x r) GEMMs, independent of prod(n)."""
     d = a.ndim
     shape = a.shape
-    unfolds = [_unfold(a, i) for i in range(d)]
+    # C-order strides for direct fiber gather (flat index into a_flat);
+    # prod(shape) < 2^31 is enforced by the cp_decompose wrapper so int32
+    # accumulation cannot wrap
+    strides = [1] * d
+    for j in range(d - 2, -1, -1):
+        strides[j] = strides[j + 1] * shape[j + 1]
+    a_flat = a.reshape(-1)
 
-    factors = []
-    for i in range(d):
-        unf = unfolds[i]
-        r_i = min(rank, min(unf.shape))
-        omega = generate_omega(seed + 31 * i, unf.shape[1], r_i, a.dtype)
-        q_mat = subspace_iteration(unf, omega, q=1)
-        u, _ = tighten_contract(unf, q_mat, r_i, DOT_PRECISION)
-        if r_i < rank:
-            extra = generate_omega(seed + 97 * i, shape[i], rank - r_i,
-                                   a.dtype)
-            u = jnp.concatenate([u, extra / jnp.sqrt(float(shape[i]))],
-                                axis=1)
-        factors.append(u)
-
+    factors = _cp_init(a, seed, rank)
     eps = jnp.asarray(1e-30, a.dtype)
     key0 = jax.random.fold_in(key_from_seed(seed), 12345)
 
@@ -150,14 +158,16 @@ def _cp_rand_impl(a, seed, rank: int, iters: int, num_samples: int):
             kr_s = jnp.ones((num_samples, rank), a.dtype)
             for t, j in enumerate(others):
                 kr_s = kr_s * fs[j][idxs[t]]
-            # matching unfolding columns (C-order ravel over other modes)
-            col = jnp.zeros((num_samples,), jnp.int32)
+            # fiber base offsets into the flat tensor; the mode-i axis
+            # contributes k * strides[i] per element of the fiber
+            base = jnp.zeros((num_samples,), jnp.int32)
             for t, j in enumerate(others):
-                col = col * shape[j] + idxs[t].astype(jnp.int32)
-            a_s = unfolds[i][:, col]                       # n_i x S
-            g = _mm(kr_s.T, kr_s)
-            g = g + jnp.finfo(a.dtype).eps * (
-                jnp.trace(g) + 1.0) * jnp.eye(rank, dtype=a.dtype)
+                base = base + idxs[t].astype(jnp.int32) * strides[j]
+            gather = base[None, :] + (
+                jnp.arange(shape[i], dtype=jnp.int32)[:, None]
+                * strides[i])
+            a_s = a_flat[gather]                           # n_i x S
+            g = _regularize(_mm(kr_s.T, kr_s), rank, a.dtype)
             f_new = jax.scipy.linalg.solve(
                 g.T, _mm(a_s, kr_s).T, assume_a="pos").T
             if i < d - 1:
@@ -167,12 +177,7 @@ def _cp_rand_impl(a, seed, rank: int, iters: int, num_samples: int):
         return fs
 
     factors = jax.lax.fori_loop(0, iters, sweep, factors)
-    last = factors[-1]
-    weights = jnp.linalg.norm(last, axis=0)
-    last = last / jnp.maximum(weights, eps)[None, :]
-    order = jnp.argsort(-weights)
-    return weights[order], tuple(
-        [f[:, order] for f in factors[:-1]] + [last[:, order]])
+    return _cp_finalize(factors, eps)
 
 
 def cp_decompose(
@@ -190,18 +195,24 @@ def cp_decompose(
     ``method='als'`` is exact alternating least squares (per sweep cost
     ~ d * prod(n) * rank); ``method='rand'`` is CPRAND — fiber-sampled
     updates whose per-sweep cost is independent of prod(n)
-    (``num_samples`` rows, default 10 * rank * log2-ish heuristic
-    4 * rank + 64).  Use 'rand' when the tensor is large and 'als' when
-    accuracy per sweep matters more than sweep cost."""
+    (``num_samples`` Khatri-Rao rows per update; default 4*rank + 64,
+    clamped to the available fiber count).  Use 'rand' when the tensor
+    is large and 'als' when accuracy per sweep matters more than sweep
+    cost."""
     a = jnp.asarray(a)
     if a.ndim < 2:
         raise ValueError("cp_decompose needs a tensor of ndim >= 2")
     if method == "als":
         return _cp_als_impl(a, seed, int(rank), int(iters))
     if method == "rand":
-        s = int(num_samples) if num_samples else 4 * int(rank) + 64
         import numpy as _np
 
+        if int(_np.prod(a.shape)) >= 2 ** 31:
+            raise ValueError(
+                "method='rand' gathers fibers by flat int32 index; "
+                f"prod(shape)={int(_np.prod(a.shape))} >= 2^31 would "
+                "overflow — decompose a sharded/reshaped view instead")
+        s = int(num_samples) if num_samples else 4 * int(rank) + 64
         max_fibers = int(_np.prod(a.shape)) // max(min(a.shape), 1)
         s = max(min(s, max_fibers), int(rank))
         return _cp_rand_impl(a, seed, int(rank), int(iters), s)

@@ -29,13 +29,27 @@ from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION as _H
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _mm
 
 
+# The certificate requires probes INDEPENDENT of the factorization being
+# certified.  generate_omega(seed, ...) and these estimators both accept
+# "seed=0" defaults, so without a salt the probes would be bit-identical
+# to the rSVD sketch Omega drawn from the same seed — and (I - QQ^T) A g
+# would be ~0 by construction, silently certifying garbage.  fold_in with
+# a fixed tag puts the probes on a disjoint stream for every seed.
+_PROBE_TAG = 0x9E3779B9  # golden-ratio constant, arbitrary fixed tag
+
+
+def _probe_key(seed):
+    return jax.random.fold_in(key_from_seed(seed), _PROBE_TAG)
+
+
 @partial(jax.jit, static_argnames=("num_probes",))
 def range_error_estimate(a, q_mat, seed=0, num_probes: int = 10
                          ) -> jax.Array:
     """Certified upper bound on ||(I - QQ^T) A||_2, holding with
-    probability >= 1 - 10^{-num_probes} over the probes."""
+    probability >= 1 - 10^{-num_probes} over the probes (drawn from a
+    stream disjoint from `generate_omega`'s for the same seed)."""
     n = a.shape[1]
-    g = jax.random.normal(key_from_seed(seed), (n, num_probes), a.dtype)
+    g = jax.random.normal(_probe_key(seed), (n, num_probes), a.dtype)
     ag = _mm(a, g, _HI)                            # m x r
     resid = ag - _mm(q_mat, _mm(q_mat.T, ag, _HI), _HI)
     norms = jnp.sqrt(jnp.sum(resid * resid, axis=0))
@@ -46,9 +60,10 @@ def range_error_estimate(a, q_mat, seed=0, num_probes: int = 10
 def factorization_error_estimate(a, u, s, v, seed=0, num_probes: int = 10
                                  ) -> jax.Array:
     """Certified upper bound on ||A - U diag(s) V^T||_2 (same probe
-    argument applied to the factorization residual operator)."""
+    argument applied to the factorization residual operator; probes come
+    from the salted stream — see `_probe_key`)."""
     n = a.shape[1]
-    g = jax.random.normal(key_from_seed(seed), (n, num_probes), a.dtype)
+    g = jax.random.normal(_probe_key(seed), (n, num_probes), a.dtype)
     eg = _mm(a, g, _HI) - _mm(u * s[None, :], _mm(v.T, g, _HI), _HI)
     norms = jnp.sqrt(jnp.sum(eg * eg, axis=0))
     return 10.0 * jnp.sqrt(2.0 / jnp.pi) * jnp.max(norms)

@@ -64,6 +64,13 @@ class TestCP:
         rec = np.asarray(cp_reconstruct(w, factors))
         assert np.linalg.norm(rec - a) / np.linalg.norm(a) < 1e-8
 
+    def test_zero_tensor_yields_zero_weights_not_nan(self):
+        w, factors = cp_decompose(np.zeros((6, 5, 4)), 2, iters=5)
+        assert np.all(np.isfinite(np.asarray(w)))
+        np.testing.assert_allclose(np.asarray(w), 0.0, atol=1e-12)
+        for f in factors:
+            assert np.all(np.isfinite(np.asarray(f)))
+
     def test_ndim_guard(self):
         with pytest.raises(ValueError):
             cp_decompose(np.zeros(5), 2)

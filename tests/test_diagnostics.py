@@ -43,6 +43,26 @@ class TestErrorCertificates:
         assert est >= true * (1 - 1e-9)
         assert est <= 40.0 * true + 1e-12
 
+    def test_probes_disjoint_from_sketch_stream(self):
+        # regression: with probes drawn from generate_omega's stream, a
+        # basis built from omega(seed=0, l=10) would satisfy
+        # (I-QQ^T)A g = 0 identically and the bound would certify garbage
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import (
+            orthonormal_basis,
+        )
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+            generate_omega,
+        )
+
+        a = _decaying(120, 60, seed=4, decay=0.9)  # slow decay: rank-10
+        omega = generate_omega(0, 60, 10, jnp.asarray(a).dtype)
+        q = orthonormal_basis(jnp.asarray(a) @ omega)  # basis misses a lot
+        true = np.linalg.norm(a - np.asarray(q) @ (np.asarray(q).T @ a), 2)
+        est = float(range_error_estimate(jnp.asarray(a), q, seed=0,
+                                         num_probes=10))
+        assert est >= true * (1 - 1e-9)
+        assert est > 0.1 * np.linalg.norm(a, 2)  # genuinely nonzero
+
     def test_exact_factorization_certifies_zero(self):
         rng = np.random.default_rng(2)
         u0, _ = np.linalg.qr(rng.standard_normal((50, 5)))
