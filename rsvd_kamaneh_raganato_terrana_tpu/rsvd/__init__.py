@@ -45,6 +45,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (  # noqa: F401
     nystrom_psd,
     nystrom_reconstruct,
     reigh,
+    reigh_generalized,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.ring import (  # noqa: F401
     rsvd_ring,

@@ -136,3 +136,47 @@ def reigh(
 def nystrom_reconstruct(u, lam):
     """A_k = U diag(lam) U^T."""
     return _mm(u * lam[None, :], u.T)
+
+
+@partial(jax.jit, static_argnames=("k", "p", "q", "precision"))
+def _reigh_generalized_impl(a, b, *, k, p, q, seed, precision):
+    # B = L L^T; the standard transform C = L^{-1} A L^{-T} is symmetric
+    # with the same eigenvalues, and eigvecs map back as v = L^{-T} w.
+    # L^{-1}-applications are triangular solves — O(n^2) each against the
+    # rSVD stage's O(n^2 l) GEMMs, so the transform is never the
+    # bottleneck; C itself is formed once (two solves on n x n operands,
+    # still GEMM-bandwidth work) to reuse the dense range finder.
+    l_chol = jnp.linalg.cholesky(0.5 * (b + b.T))
+    solve = partial(jax.lax.linalg.triangular_solve, l_chol,
+                    left_side=True, lower=True)
+    c = solve(0.5 * (a + a.T))                    # L^{-1} A
+    c = solve(c.T).T                              # L^{-1} A L^{-T}
+    w, u = _reigh_impl(c, k=k, p=p, q=q, seed=seed, precision=precision)
+    v = jax.lax.linalg.triangular_solve(
+        l_chol, u, left_side=True, lower=True, transpose_a=True)
+    # B-orthonormalize the columns exactly: v^T B v = u^T u = I already
+    # up to the randomized subspace's accuracy
+    return w, v
+
+
+def reigh_generalized(
+    a,
+    b,
+    k: int,
+    p: int = 10,
+    q: int = 2,
+    seed: int = 0,
+    precision: str = "highest",
+) -> Tuple[jax.Array, jax.Array]:
+    """Randomized truncated GENERALIZED symmetric eigendecomposition
+    A v = lam B v with symmetric A and symmetric positive-definite B
+    (mass/weight matrices — the structure behind the reference's
+    weighted POD, POD.cpp weight variant).  Returns ``(w: k, V: n x k)``
+    with ``V^T B V = I`` and w the k eigenvalues of largest magnitude."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b, dtype=a.dtype)
+    if a.shape != b.shape or a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError(f"need square A, B of equal shape, got "
+                         f"{a.shape} vs {b.shape}")
+    return _reigh_generalized_impl(a, b, k=k, p=p, q=q, seed=seed,
+                                   precision=precision)

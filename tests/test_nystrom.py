@@ -107,3 +107,48 @@ class TestReigh:
     def test_rejects_rectangular(self):
         with pytest.raises(ValueError):
             reigh(jnp.zeros((4, 5)), k=2)
+
+
+class TestGeneralizedEigh:
+    def test_matches_scipy_generalized(self):
+        from scipy.linalg import eigh as scipy_eigh
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (
+            reigh_generalized,
+        )
+
+        n, k = 80, 6
+        q = _orth(n, 8)
+        lam = 0.7 ** np.arange(n)
+        a = (q * lam[None, :]) @ q.T
+        rng = np.random.default_rng(9)
+        c = rng.standard_normal((n, n)) / np.sqrt(n)
+        b = c @ c.T + np.eye(n)            # SPD mass matrix
+        w, v = reigh_generalized(jnp.asarray(a), jnp.asarray(b), k=k)
+        w_true = scipy_eigh(a, b, eigvals_only=True)[::-1]
+        np.testing.assert_allclose(np.asarray(w), w_true[:k], rtol=1e-6)
+        # B-orthonormality: V^T B V = I
+        g = np.asarray(v).T @ b @ np.asarray(v)
+        np.testing.assert_allclose(g, np.eye(k), atol=1e-6)
+        # residual: A v = w B v
+        res = a @ np.asarray(v) - (b @ np.asarray(v)) * np.asarray(w)[None, :]
+        assert np.linalg.norm(res) < 1e-6
+
+    def test_identity_b_reduces_to_reigh(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (
+            reigh_generalized,
+        )
+
+        a, lam = _psd(64, seed=10)
+        w_g, _ = reigh_generalized(jnp.asarray(a), jnp.eye(64), k=5)
+        w_r, _ = reigh(jnp.asarray(a), k=5)
+        np.testing.assert_allclose(np.asarray(w_g), np.asarray(w_r),
+                                   rtol=1e-9)
+
+    def test_shape_guard(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (
+            reigh_generalized,
+        )
+
+        with pytest.raises(ValueError):
+            reigh_generalized(jnp.zeros((4, 4)), jnp.zeros((5, 5)), k=2)
