@@ -37,23 +37,22 @@ def _mv(a, v):
     return jnp.matmul(a, v, precision=_HI, preferred_element_type=a.dtype)
 
 
-@partial(jax.jit, static_argnames=("steps",))
-def lanczos_tridiag(a, v0, steps: int) -> Tuple[jax.Array, jax.Array]:
+def _lanczos_body(apply_a, v0, steps: int):
     """`steps` Lanczos iterations from (unnormalized) v0 with FULL
     reorthogonalization (steps is small; stability beats the extra panel
     GEMM).  Returns (alpha: steps, beta: steps-1) of the tridiagonal T.
 
     Early (invariant-subspace) breakdown is handled smoothly: a zero
     residual yields beta ~ 0 and subsequent quadrature weights vanish."""
-    n = a.shape[0]
-    dtype = a.dtype
+    n = v0.shape[0]
+    dtype = v0.dtype
     eps = jnp.asarray(1e-30, dtype)
     v = v0 / jnp.maximum(jnp.linalg.norm(v0), eps)
     basis0 = jnp.zeros((steps, n), dtype).at[0].set(v)
 
     def step(carry, i):
         basis, v = carry
-        w = _mv(a, v)
+        w = apply_a(v)
         alpha = jnp.vdot(v, w)
         w = w - alpha * v
         # full reorthogonalization against every stored vector, twice
@@ -74,6 +73,12 @@ def lanczos_tridiag(a, v0, steps: int) -> Tuple[jax.Array, jax.Array]:
     return alphas, betas[:-1]
 
 
+@partial(jax.jit, static_argnames=("steps",))
+def lanczos_tridiag(a, v0, steps: int) -> Tuple[jax.Array, jax.Array]:
+    """Dense-matrix front end of `_lanczos_body` (see its docstring)."""
+    return _lanczos_body(lambda x: _mv(a, x), v0, steps)
+
+
 def _quadrature(alphas, betas, fn):
     """Gauss quadrature from one tridiagonal: sum_j w_j^2 f(theta_j)."""
     t = (jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1))
@@ -82,29 +87,52 @@ def _quadrature(alphas, betas, fn):
     return jnp.sum(w2 * fn(theta))
 
 
-@partial(jax.jit, static_argnames=("fn", "num_probes", "steps"))
-def slq_trace(a, fn: Callable, seed=0, num_probes: int = 16,
-              steps: int = 30) -> jax.Array:
-    """tr(f(A)) for symmetric A — f applied to Ritz values only.
-
-    ``fn`` must be a traceable elementwise function (e.g. ``jnp.log``,
-    ``lambda x: 1/(x + mu)``).  ``fn`` is a STATIC jit argument keyed by
-    object identity: pass a stable callable (module-level function,
-    ``jnp.log``, or a cached closure like ``logdet_psd``'s) when calling
-    repeatedly — a fresh inline lambda per call retraces and compiles
-    every time.  Rademacher probes (||v||^2 = n exactly) are vmapped:
-    each Lanczos step is one batched GEMM.
-    """
-    n = a.shape[0]
-    key = key_from_seed(seed)
-    probes = rademacher(key, (num_probes, n), a.dtype)
+def _slq_body(apply_a, fn, seed, n, num_probes, steps, dtype):
+    probes = rademacher(key_from_seed(seed), (num_probes, n), dtype)
 
     def one(v):
-        al, be = lanczos_tridiag(a, v, steps)
+        al, be = _lanczos_body(apply_a, v, steps)
         return _quadrature(al, be, fn)
 
     quads = jax.vmap(one)(probes)
-    return jnp.asarray(float(n), a.dtype) * jnp.mean(quads)
+    return jnp.asarray(float(n), dtype) * jnp.mean(quads)
+
+
+@partial(jax.jit, static_argnames=("fn", "num_probes", "steps"))
+def _slq_dense(a, fn: Callable, seed, num_probes: int, steps: int):
+    return _slq_body(lambda x: _mv(a, x), fn, seed, a.shape[0],
+                     num_probes, steps, a.dtype)
+
+
+@partial(jax.jit, static_argnames=("apply_a", "fn", "n", "num_probes",
+                                   "steps", "dtype"))
+def _slq_op(seed, *, apply_a, fn: Callable, n: int, num_probes: int,
+            steps: int, dtype):
+    return _slq_body(apply_a, fn, seed, n, num_probes, steps, dtype)
+
+
+def slq_trace(a, fn: Callable, seed=0, num_probes: int = 16,
+              steps: int = 30, n: int = None,
+              dtype=jnp.float32) -> jax.Array:
+    """tr(f(A)) for symmetric A — f applied to Ritz values only.
+
+    ``a``: square matrix or a matrix-free operator ``v -> A v`` on
+    single vectors (pass ``n``; under vmap each Lanczos step's probe
+    matvecs batch into one GEMM).  ``fn`` must be a traceable
+    elementwise function (e.g. ``jnp.log``, ``lambda x: 1/(x + mu)``).
+    Both ``fn`` and a callable ``a`` are STATIC jit arguments keyed by
+    object identity: pass stable callables (module-level functions,
+    ``jnp.log``, or a cached closure like ``logdet_psd``'s) when calling
+    repeatedly — a fresh inline lambda per call retraces and compiles
+    every time.
+    """
+    if callable(a):
+        if n is None:
+            raise ValueError("matrix-free slq_trace needs n")
+        return _slq_op(seed, apply_a=a, fn=fn, n=int(n),
+                       num_probes=num_probes, steps=steps,
+                       dtype=jnp.dtype(dtype))
+    return _slq_dense(jnp.asarray(a), fn, seed, num_probes, steps)
 
 
 @lru_cache(maxsize=64)
@@ -123,8 +151,11 @@ def _logdet_fn(shift: float) -> Callable:
 
 
 def logdet_psd(a, seed=0, num_probes: int = 16, steps: int = 30,
-               shift: float = 0.0) -> jax.Array:
+               shift: float = 0.0, n: int = None,
+               dtype=jnp.float32) -> jax.Array:
     """log det(A + shift I) for symmetric positive-definite A via SLQ —
-    no Cholesky of A, only `steps` matvecs per probe."""
+    no Cholesky of A, only `steps` matvecs per probe.  ``a`` may be a
+    matrix-free operator (pass ``n``, see :func:`slq_trace`)."""
     return slq_trace(a, _logdet_fn(float(shift)),
-                     seed=seed, num_probes=num_probes, steps=steps)
+                     seed=seed, num_probes=num_probes, steps=steps,
+                     n=n, dtype=dtype)

@@ -33,16 +33,49 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _mm
 from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION as _HI  # noqa: E402
 
 
-def _quad_forms(a, g):
+def _quad_forms(apply_a, g):
     """g_j^T (A g_j) for every column j — one GEMM + a contraction."""
-    return jnp.einsum("ij,ij->j", g, _mm(a, g, _HI),
-                      precision=_HI)
+    return jnp.einsum("ij,ij->j", g, apply_a(g), precision=_HI)
+
+
+def _dense_apply(a):
+    return lambda x: _mm(a, x, _HI)
+
+
+def _hutchinson_body(apply_a, seed, n, num_samples, kind, dtype):
+    g = sketch_matrix(key_from_seed(seed), n, num_samples, dtype, kind)
+    quad = _quad_forms(apply_a, g)
+    est = jnp.mean(quad)
+    se = jnp.std(quad, ddof=1) / jnp.sqrt(jnp.asarray(float(num_samples),
+                                                      quad.dtype))
+    return est, se
 
 
 @partial(jax.jit, static_argnames=("num_samples", "kind"))
+def _hutchinson_dense(a, seed, num_samples: int, kind: str):
+    return _hutchinson_body(_dense_apply(a), seed, a.shape[0],
+                            num_samples, kind, a.dtype)
+
+
+@partial(jax.jit, static_argnames=("apply_a", "n", "num_samples", "kind",
+                                   "dtype"))
+def _hutchinson_op(seed, *, apply_a, n: int, num_samples: int, kind: str,
+                   dtype):
+    return _hutchinson_body(apply_a, seed, n, num_samples, kind, dtype)
+
+
 def hutchinson(a, seed=0, num_samples: int = 64,
-               kind: str = "rademacher") -> Tuple[jax.Array, jax.Array]:
+               kind: str = "rademacher", n: int = None,
+               dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
     """Girard-Hutchinson trace estimator.
+
+    ``a`` is a square matrix OR a matrix-free operator: a traceable
+    callable ``X (n x m) -> A X`` (e.g. a Hessian-vector product), in
+    which case ``n`` (and optionally ``dtype``) must be given.  A
+    callable is a STATIC jit key — pass a stable function, not a fresh
+    lambda per call, and pass any captured device arrays as closure of a
+    module-level function rather than re-closing each call (see
+    CLAUDE.md's jit-closure rule).
 
     Returns ``(estimate, stderr)`` where stderr is the sample standard
     error of the ``num_samples`` independent quadratic forms — an honest,
@@ -52,19 +85,47 @@ def hutchinson(a, seed=0, num_samples: int = 64,
     Rademacher probes (default) have strictly smaller variance than
     Gaussian for the same m: Var = 2(||A_sym||_F^2 - sum a_ii^2)/m.
     """
-    n = a.shape[0]
-    g = sketch_matrix(key_from_seed(seed), n, num_samples, a.dtype, kind)
-    quad = _quad_forms(a, g)
-    est = jnp.mean(quad)
-    se = jnp.std(quad, ddof=1) / jnp.sqrt(jnp.asarray(float(num_samples),
-                                                      quad.dtype))
-    return est, se
+    if callable(a):
+        if n is None:
+            raise ValueError("matrix-free hutchinson needs n")
+        return _hutchinson_op(seed, apply_a=a, n=int(n),
+                              num_samples=num_samples, kind=kind,
+                              dtype=jnp.dtype(dtype))
+    return _hutchinson_dense(jnp.asarray(a), seed, num_samples, kind)
+
+
+def _hutchpp_body(apply_a, seed, n, budget, kind, dtype):
+    m = max(budget // 3, 1)
+    key = key_from_seed(seed)
+    ks, kg = jax.random.split(key)
+    s = sketch_matrix(ks, n, m, dtype, kind)
+    g = sketch_matrix(kg, n, m, dtype, kind)
+    q = orthonormal_basis(apply_a(s), "robust")
+    t_range = jnp.trace(_mm(q.T, apply_a(q), _HI))
+    # (I - QQ^T) g deflates BOTH sides of each residual quadratic form
+    # (the projector is symmetric): g'^T A g' = g^T (I-P) A (I-P) g.
+    gp = g - _mm(q, _mm(q.T, g, _HI), _HI)
+    return t_range + jnp.mean(_quad_forms(apply_a, gp))
 
 
 @partial(jax.jit, static_argnames=("budget", "kind"))
-def hutchpp(a, seed=0, budget: int = 96,
-            kind: str = "rademacher") -> jax.Array:
+def _hutchpp_dense(a, seed, budget: int, kind: str):
+    return _hutchpp_body(_dense_apply(a), seed, a.shape[0], budget, kind,
+                         a.dtype)
+
+
+@partial(jax.jit, static_argnames=("apply_a", "n", "budget", "kind",
+                                   "dtype"))
+def _hutchpp_op(seed, *, apply_a, n: int, budget: int, kind: str, dtype):
+    return _hutchpp_body(apply_a, seed, n, budget, kind, dtype)
+
+
+def hutchpp(a, seed=0, budget: int = 96, kind: str = "rademacher",
+            n: int = None, dtype=jnp.float32) -> jax.Array:
     """Hutch++: variance-reduced trace estimation in a 3-way budget split.
+
+    ``a``: square matrix or matrix-free operator ``X -> A X`` (pass
+    ``n``; see :func:`hutchinson` for the static-callable rules).
 
     With m = budget//3: sketch S (n x m) captures range(A)'s dominant
     subspace Q = orth(A S) whose trace contribution tr(Q^T A Q) is computed
@@ -74,35 +135,50 @@ def hutchpp(a, seed=0, budget: int = 96,
     residual ||A - A_m||_F instead of ||A||_F — for PSD A this gives the
     optimal O(1/m) relative error vs Hutchinson's O(1/sqrt(m)).
     """
-    n = a.shape[0]
-    m = max(budget // 3, 1)
-    key = key_from_seed(seed)
-    ks, kg = jax.random.split(key)
-    s = sketch_matrix(ks, n, m, a.dtype, kind)
-    g = sketch_matrix(kg, n, m, a.dtype, kind)
-    q = orthonormal_basis(_mm(a, s, _HI), "robust")
-    t_range = jnp.trace(_mm(q.T, _mm(a, q, _HI), _HI))
-    # (I - QQ^T) g deflates BOTH sides of each residual quadratic form
-    # (the projector is symmetric): g'^T A g' = g^T (I-P) A (I-P) g.
-    gp = g - _mm(q, _mm(q.T, g, _HI), _HI)
-    return t_range + jnp.mean(_quad_forms(a, gp))
+    if callable(a):
+        if n is None:
+            raise ValueError("matrix-free hutchpp needs n")
+        return _hutchpp_op(seed, apply_a=a, n=int(n), budget=budget,
+                           kind=kind, dtype=jnp.dtype(dtype))
+    return _hutchpp_dense(jnp.asarray(a), seed, budget, kind)
+
+
+def _diag_body(apply_a, seed, n, num_samples, dtype):
+    g = sketch_matrix(key_from_seed(seed), n, num_samples, dtype,
+                      "rademacher")
+    prod = g * apply_a(g)                          # n x m, row i -> a_ii
+    est = jnp.mean(prod, axis=1)
+    se = jnp.std(prod, axis=1, ddof=1) / jnp.sqrt(
+        jnp.asarray(float(num_samples), prod.dtype))
+    return est, se
 
 
 @partial(jax.jit, static_argnames=("num_samples",))
-def diag_estimate(a, seed=0, num_samples: int = 128
-                  ) -> Tuple[jax.Array, jax.Array]:
+def _diag_dense(a, seed, num_samples: int):
+    return _diag_body(_dense_apply(a), seed, a.shape[0], num_samples,
+                      a.dtype)
+
+
+@partial(jax.jit, static_argnames=("apply_a", "n", "num_samples", "dtype"))
+def _diag_op(seed, *, apply_a, n: int, num_samples: int, dtype):
+    return _diag_body(apply_a, seed, n, num_samples, dtype)
+
+
+def diag_estimate(a, seed=0, num_samples: int = 128, n: int = None,
+                  dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
     """Stochastic diagonal estimation (Bekas-Kokiopoulou-Saad 2007):
     diag(A) = E[g * (A g)] for Rademacher g (elementwise product).
+
+    ``a``: square matrix or matrix-free operator ``X -> A X`` (pass
+    ``n``; see :func:`hutchinson` for the static-callable rules).
 
     Returns ``(diag_est, stderr)`` with per-entry sample standard errors.
     One GEMM of shape (n x n)(n x m) regardless of m — batching the probes
     is free on the MXU relative to m separate matvecs.
     """
-    n = a.shape[0]
-    g = sketch_matrix(key_from_seed(seed), n, num_samples, a.dtype,
-                      "rademacher")
-    prod = g * _mm(a, g, _HI)                      # n x m, row i -> a_ii
-    est = jnp.mean(prod, axis=1)
-    se = jnp.std(prod, axis=1, ddof=1) / jnp.sqrt(
-        jnp.asarray(float(num_samples), prod.dtype))
-    return est, se
+    if callable(a):
+        if n is None:
+            raise ValueError("matrix-free diag_estimate needs n")
+        return _diag_op(seed, apply_a=a, n=int(n),
+                        num_samples=num_samples, dtype=jnp.dtype(dtype))
+    return _diag_dense(jnp.asarray(a), seed, num_samples)

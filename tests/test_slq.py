@@ -66,13 +66,36 @@ class TestSLQ:
     def test_logdet_does_not_retrace_per_call(self):
         # logdet_psd's fn is a static jit arg: repeated calls with the
         # same shift must reuse one cache entry, not grow the jit cache
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.slq import _slq_dense
+
         a, _ = _spd(40, seed=8)
         aj = jnp.asarray(a)
         logdet_psd(aj, num_probes=2, steps=4)
-        before = slq_trace._cache_size()
+        before = _slq_dense._cache_size()
         logdet_psd(aj, num_probes=2, steps=4)
         logdet_psd(aj, num_probes=2, steps=4)
-        assert slq_trace._cache_size() == before
+        assert _slq_dense._cache_size() == before
+
+    def test_matrix_free_operator_matches_dense(self):
+        a, _ = _spd(80, seed=9)
+        aj = jnp.asarray(a)
+
+        def apply_a(v):
+            # stable module-level-style callable; closure over aj is fine
+            # in a test (single call site)
+            return aj @ v
+
+        dense = float(slq_trace(aj, jnp.exp, seed=4, num_probes=8,
+                                steps=15))
+        op = float(slq_trace(apply_a, jnp.exp, seed=4, num_probes=8,
+                             steps=15, n=80, dtype=aj.dtype))
+        assert abs(dense - op) < 1e-8 * abs(dense)
+
+    def test_matrix_free_needs_n(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            slq_trace(lambda v: v, jnp.exp)
 
     def test_seed_determinism(self):
         a, _ = _spd(60, seed=7)

@@ -69,6 +69,52 @@ class TestHutchPP:
         assert np.median(err_pp) < 0.2 * np.median(err_h)
 
 
+class TestMatrixFree:
+    def test_hutchinson_operator_matches_dense(self):
+        rng = np.random.default_rng(20)
+        b = rng.standard_normal((120, 10))
+        a = b @ b.T
+        bj = np.asarray(b)
+
+        import jax.numpy as jnp
+
+        bj = jnp.asarray(b)
+
+        def apply_a(x):          # A x = B (B^T x) — A never formed
+            return bj @ (bj.T @ x)
+
+        e_dense, _ = hutchinson(a, seed=3, num_samples=64)
+        e_op, _ = hutchinson(apply_a, seed=3, num_samples=64, n=120,
+                             dtype=bj.dtype)
+        np.testing.assert_allclose(float(e_dense), float(e_op), rtol=1e-6)
+
+    def test_hutchpp_operator_matches_dense(self):
+        rng = np.random.default_rng(21)
+        b = rng.standard_normal((100, 8))
+        a = b @ b.T
+
+        import jax.numpy as jnp
+
+        bj = jnp.asarray(b)
+
+        def apply_a(x):
+            return bj @ (bj.T @ x)
+
+        e_dense = hutchpp(a, seed=0, budget=48)
+        e_op = hutchpp(apply_a, seed=0, budget=48, n=100, dtype=bj.dtype)
+        np.testing.assert_allclose(float(e_dense), float(e_op), rtol=1e-6)
+
+    def test_operator_needs_n(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            hutchinson(lambda x: x)
+        with pytest.raises(ValueError):
+            hutchpp(lambda x: x)
+        with pytest.raises(ValueError):
+            diag_estimate(lambda x: x)
+
+
 class TestDiagEstimate:
     def test_diagonal_matrix_is_exact(self):
         d = np.diag(np.linspace(0.1, 9.0, 64))
