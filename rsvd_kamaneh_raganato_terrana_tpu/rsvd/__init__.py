@@ -21,6 +21,8 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.diagnostics import (  # noqa: F401
     factorization_error_estimate,
     principal_angles,
     range_error_estimate,
+    spectral_norm_estimate,
+    stable_rank_estimate,
     subspace_distance,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.fd import (  # noqa: F401

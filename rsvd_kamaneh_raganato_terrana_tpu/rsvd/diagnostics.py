@@ -86,3 +86,28 @@ def subspace_distance(u, v) -> jax.Array:
     (0 = identical spans, 1 = some direction fully missed)."""
     _, cos = principal_angles(u, v)
     return jnp.sqrt(jnp.maximum(1.0 - jnp.min(cos) ** 2, 0.0))
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def spectral_norm_estimate(a, seed=0, num_iters: int = 30) -> jax.Array:
+    """||A||_2 estimate by power iteration on the Gram operator (B-free
+    x <- A^T (A x) chain).  A lower bound that converges geometrically in
+    (sigma_2/sigma_1)^2 — `num_iters=30` gives several digits unless the
+    top of the spectrum is nearly flat."""
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.power import power_triplet
+
+    x0 = jax.random.normal(_probe_key(seed), (a.shape[1],), a.dtype)
+    sigma, _, _ = power_triplet(a, x0, num_iters)
+    return sigma
+
+
+def stable_rank_estimate(a, seed=0, num_iters: int = 30) -> jax.Array:
+    """Stable (numerical) rank  srank(A) = ||A||_F^2 / ||A||_2^2  — the
+    rank-like quantity that drives sketch-size requirements and is robust
+    to noise floors (unlike exact rank).  ||A||_F is exact (one pass);
+    ||A||_2 from :func:`spectral_norm_estimate`, so the result is a
+    slight OVER-estimate when the power iteration hasn't converged."""
+    a = jnp.asarray(a)
+    fro_sq = jnp.sum(jnp.square(a))
+    sig = spectral_norm_estimate(a, seed=seed, num_iters=num_iters)
+    return fro_sq / jnp.maximum(sig * sig, jnp.finfo(a.dtype).tiny)

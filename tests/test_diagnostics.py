@@ -75,6 +75,32 @@ class TestErrorCertificates:
         assert est < 1e-10
 
 
+class TestNormEstimates:
+    def test_spectral_norm_converges(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.diagnostics import (
+            spectral_norm_estimate,
+        )
+
+        a = _decaying(150, 60, seed=7, decay=0.6)
+        est = float(spectral_norm_estimate(jnp.asarray(a), num_iters=40))
+        true = np.linalg.norm(a, 2)
+        assert est <= true * (1 + 1e-9)          # power method lower-bounds
+        assert est > 0.999 * true
+
+    def test_stable_rank(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.diagnostics import (
+            stable_rank_estimate,
+        )
+
+        # rank-r orthogonal projector-like matrix: srank == r exactly
+        rng = np.random.default_rng(8)
+        u = np.linalg.qr(rng.standard_normal((100, 7)))[0]
+        v = np.linalg.qr(rng.standard_normal((50, 7)))[0]
+        a = u @ v.T                               # all singular values 1
+        est = float(stable_rank_estimate(jnp.asarray(a), num_iters=50))
+        np.testing.assert_allclose(est, 7.0, rtol=1e-6)
+
+
 class TestPrincipalAngles:
     def test_identical_spans_zero_angles(self):
         rng = np.random.default_rng(3)
