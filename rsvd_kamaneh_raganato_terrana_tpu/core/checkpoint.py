@@ -74,6 +74,55 @@ def load_factors_orbax(path: str):
     return state["U"], state["S"], state["V"], meta
 
 
+def save_tensor_factors(path: str, kind: str, *, core=None, factors=None,
+                        cores=None, weights=None,
+                        meta: Optional[Dict] = None) -> None:
+    """One-file (.npz) persistence for the tensor formats:
+
+    - ``kind='tucker'``: pass ``core`` + ``factors`` (sequence)
+    - ``kind='tt'``:     pass ``cores`` (sequence)
+    - ``kind='cp'``:     pass ``weights`` + ``factors`` (sequence)
+
+    Round-trips through :func:`load_tensor_factors`."""
+    path = _npz_path(path)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+    if kind == "tucker":
+        arrays["core"] = np.asarray(core)
+        seq = factors
+    elif kind == "tt":
+        seq = cores
+    elif kind == "cp":
+        arrays["weights"] = np.asarray(weights)
+        seq = factors
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+    if seq is None:
+        raise ValueError(f"kind={kind!r} needs its factor sequence")
+    for i, f in enumerate(seq):
+        arrays[f"f{i}"] = np.asarray(f)
+    np.savez_compressed(path, kind=kind, n_factors=len(list(seq)),
+                        meta=json.dumps(meta or {}), **arrays)
+
+
+def load_tensor_factors(path: str):
+    """Inverse of :func:`save_tensor_factors`.  Returns a dict with
+    ``kind``, ``meta``, and the format's fields (``core``+``factors``,
+    ``cores``, or ``weights``+``factors``)."""
+    with np.load(_npz_path(path), allow_pickle=False) as z:
+        kind = str(z["kind"])
+        n = int(z["n_factors"])
+        seq = tuple(z[f"f{i}"] for i in range(n))
+        out = {"kind": kind, "meta": json.loads(str(z["meta"]))}
+        if kind == "tucker":
+            out.update(core=z["core"], factors=seq)
+        elif kind == "tt":
+            out.update(cores=seq)
+        else:
+            out.update(weights=z["weights"], factors=seq)
+        return out
+
+
 def export_matrix_market(out_dir: str, stem: str, U, S, V) -> None:
     """Reference-layout export: <stem>_U.mtx / _S.mtx / _V.mtx under out_dir
     (tests/rSVD_test.cpp:108-115 wrote data/output/rSVD/my/)."""

@@ -89,3 +89,49 @@ def test_timeit_returns_result():
 
     secs, out = timeit(lambda: jnp.ones(4).sum(), iters=2, warmup=1)
     assert secs >= 0 and float(out) == 4.0
+
+
+def test_tensor_factor_roundtrips(tmp_path, rng):
+    from rsvd_kamaneh_raganato_terrana_tpu.core.checkpoint import (
+        load_tensor_factors,
+        save_tensor_factors,
+    )
+
+    core = rng.standard_normal((3, 4, 2))
+    factors = [rng.standard_normal((10, 3)), rng.standard_normal((8, 4)),
+               rng.standard_normal((6, 2))]
+    p = str(tmp_path / "tuck")
+    save_tensor_factors(p, "tucker", core=core, factors=factors,
+                        meta={"tol": 1e-3})
+    out = load_tensor_factors(p)
+    assert out["kind"] == "tucker" and out["meta"] == {"tol": 1e-3}
+    np.testing.assert_array_equal(out["core"], core)
+    for a, b in zip(out["factors"], factors):
+        np.testing.assert_array_equal(a, b)
+
+    cores = [rng.standard_normal((1, 5, 2)), rng.standard_normal((2, 4, 1))]
+    p = str(tmp_path / "tt.npz")
+    save_tensor_factors(p, "tt", cores=cores)
+    out = load_tensor_factors(p)
+    assert out["kind"] == "tt"
+    for a, b in zip(out["cores"], cores):
+        np.testing.assert_array_equal(a, b)
+
+    w = np.array([2.0, 1.0])
+    p = str(tmp_path / "cp")
+    save_tensor_factors(p, "cp", weights=w, factors=factors[:2])
+    out = load_tensor_factors(p)
+    np.testing.assert_array_equal(out["weights"], w)
+
+
+def test_tensor_factor_validation(tmp_path):
+    import pytest
+
+    from rsvd_kamaneh_raganato_terrana_tpu.core.checkpoint import (
+        save_tensor_factors,
+    )
+
+    with pytest.raises(ValueError):
+        save_tensor_factors(str(tmp_path / "x"), "magic", cores=[])
+    with pytest.raises(ValueError):
+        save_tensor_factors(str(tmp_path / "x"), "tt")
