@@ -1,0 +1,98 @@
+"""Accelerator benchmark for the beyond-parity extension modules.
+
+Times each extension's jitted program with the shared chain-delta
+protocol (benchmarks/_timing.py) and writes one CSV row per kernel:
+Tucker / TT / CP over a (T, H, W) video-like tensor, Hutch++ and SLQ
+log-det over an n x n PSD operator, and the sketched solver over a tall
+system — the shapes a production user of each API would run.
+
+Usage: python benchmarks/extensions_bench.py [--n 4096] [--t 64]
+       [--out bench_results/extensions.csv]
+(Requires the TPU relay; safe anywhere, but numbers only mean something
+on the accelerator with a QUIET host — CLAUDE.md timing rules.)
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks._timing import chain_delta, scaled_variants  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096,
+                    help="square-operator size for trace/SLQ/solver rows")
+    ap.add_argument("--t", type=int, default=64,
+                    help="video tensor frames (t x n/8 x n/8)")
+    ap.add_argument("--out", default="bench_results/extensions.csv")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
+        cp_decompose,
+        hutchpp,
+        logdet_psd,
+        sketch_lstsq,
+        tt_decompose,
+        tucker,
+    )
+
+    rng = np.random.default_rng(0)
+    n = args.n
+    h = w = max(args.n // 8, 64)
+    rows = []
+
+    def record(name, shape_desc, per):
+        row = {"kernel": name, "shape": shape_desc,
+               "ms_per_call": round(per * 1e3, 3)}
+        rows.append(row)
+        print(row, flush=True)
+
+    # tensor formats on a video-like stack
+    vid = jnp.asarray(rng.standard_normal((args.t, h, w)).astype("float32"))
+    r = (16, 32, 32)
+    per = chain_delta(lambda x: tucker(x, r, q=1)[0], scaled_variants((vid,)))
+    record("tucker_r16x32x32", f"{args.t}x{h}x{w}", per)
+    per = chain_delta(lambda x: tt_decompose(x, (16, 32))[0],
+                      scaled_variants((vid,)))
+    record("tt_r16_32", f"{args.t}x{h}x{w}", per)
+    per = chain_delta(lambda x: cp_decompose(x, 16, iters=10)[0],
+                      scaled_variants((vid,)))
+    record("cp_als16_it10", f"{args.t}x{h}x{w}", per)
+
+    # implicit-matrix estimators on an n x n PSD operator
+    b = jnp.asarray(rng.standard_normal((n, 256)).astype("float32"))
+    a_psd = (b @ b.T) / 256.0 + jnp.eye(n, dtype=jnp.float32)
+    per = chain_delta(lambda x, s: hutchpp(x, seed=s, budget=96),
+                      [(a_psd, 0), (a_psd, 1)])
+    record("hutchpp_b96", f"{n}x{n}", per)
+    per = chain_delta(lambda x, s: logdet_psd(x, seed=s, num_probes=16,
+                                              steps=30),
+                      [(a_psd, 0), (a_psd, 1)])
+    record("slq_logdet_p16s30", f"{n}x{n}", per)
+
+    # sketched solver on a tall system
+    at = jnp.asarray(rng.standard_normal((8 * n, 128)).astype("float32"))
+    bt = jnp.asarray(rng.standard_normal((8 * n,)).astype("float32"))
+    per = chain_delta(lambda x, y: sketch_lstsq(x, y, iters=40),
+                      scaled_variants((at, bt)))
+    record("sketch_lstsq_i40", f"{8 * n}x128", per)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w", newline="") as f:
+        wtr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        wtr.writeheader()
+        wtr.writerows(rows)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
