@@ -88,20 +88,26 @@ def save_tensor_factors(path: str, kind: str, *, core=None, factors=None,
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays: Dict[str, np.ndarray] = {}
     if kind == "tucker":
+        if core is None:
+            raise ValueError("kind='tucker' needs core")
         arrays["core"] = np.asarray(core)
         seq = factors
     elif kind == "tt":
         seq = cores
     elif kind == "cp":
+        if weights is None:
+            raise ValueError("kind='cp' needs weights")
         arrays["weights"] = np.asarray(weights)
         seq = factors
     else:
         raise ValueError(f"unknown kind {kind!r}")
     if seq is None:
         raise ValueError(f"kind={kind!r} needs its factor sequence")
+    seq = list(seq)  # materialize: generators would be exhausted by the
+    #                  loop below before a len() could count them
     for i, f in enumerate(seq):
         arrays[f"f{i}"] = np.asarray(f)
-    np.savez_compressed(path, kind=kind, n_factors=len(list(seq)),
+    np.savez_compressed(path, kind=kind, n_factors=len(seq),
                         meta=json.dumps(meta or {}), **arrays)
 
 

@@ -101,6 +101,7 @@ def spectral_norm_estimate(a, seed=0, num_iters: int = 30) -> jax.Array:
     return sigma
 
 
+@partial(jax.jit, static_argnames=("num_iters",))
 def stable_rank_estimate(a, seed=0, num_iters: int = 30) -> jax.Array:
     """Stable (numerical) rank  srank(A) = ||A||_F^2 / ||A||_2^2  — the
     rank-like quantity that drives sketch-size requirements and is robust

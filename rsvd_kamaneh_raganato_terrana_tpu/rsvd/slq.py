@@ -106,30 +106,34 @@ def _slq_dense(a, fn: Callable, seed, num_probes: int, steps: int):
 
 @partial(jax.jit, static_argnames=("apply_a", "fn", "n", "num_probes",
                                    "steps", "dtype"))
-def _slq_op(seed, *, apply_a, fn: Callable, n: int, num_probes: int,
-            steps: int, dtype):
-    return _slq_body(apply_a, fn, seed, n, num_probes, steps, dtype)
+def _slq_op(seed, *operands, apply_a, fn: Callable, n: int,
+            num_probes: int, steps: int, dtype):
+    return _slq_body(lambda x: apply_a(x, *operands), fn, seed, n,
+                     num_probes, steps, dtype)
 
 
 def slq_trace(a, fn: Callable, seed=0, num_probes: int = 16,
               steps: int = 30, n: int = None,
-              dtype=jnp.float32) -> jax.Array:
+              dtype=jnp.float32, operands=()) -> jax.Array:
     """tr(f(A)) for symmetric A — f applied to Ritz values only.
 
-    ``a``: square matrix or a matrix-free operator ``v -> A v`` on
-    single vectors (pass ``n``; under vmap each Lanczos step's probe
-    matvecs batch into one GEMM).  ``fn`` must be a traceable
-    elementwise function (e.g. ``jnp.log``, ``lambda x: 1/(x + mu)``).
-    Both ``fn`` and a callable ``a`` are STATIC jit arguments keyed by
-    object identity: pass stable callables (module-level functions,
-    ``jnp.log``, or a cached closure like ``logdet_psd``'s) when calling
-    repeatedly — a fresh inline lambda per call retraces and compiles
-    every time.
+    ``a``: square matrix or a matrix-free operator
+    ``apply_a(v, *operands) -> A v`` on single vectors (pass ``n``;
+    under vmap each Lanczos step's probe matvecs batch into one GEMM).
+    The operator's device-array data goes in ``operands`` (traced), NOT
+    the closure — closure constants serialize into the program shipped
+    to the remote compiler (rsvd/trace.py matrix-free convention).
+    ``fn`` must be a traceable elementwise function (e.g. ``jnp.log``,
+    ``lambda x: 1/(x + mu)``).  Both ``fn`` and a callable ``a`` are
+    STATIC jit arguments keyed by object identity: pass stable callables
+    (module-level functions, ``jnp.log``, or a cached closure like
+    ``logdet_psd``'s) when calling repeatedly — a fresh inline lambda
+    per call retraces and compiles every time.
     """
     if callable(a):
         if n is None:
             raise ValueError("matrix-free slq_trace needs n")
-        return _slq_op(seed, apply_a=a, fn=fn, n=int(n),
+        return _slq_op(seed, *operands, apply_a=a, fn=fn, n=int(n),
                        num_probes=num_probes, steps=steps,
                        dtype=jnp.dtype(dtype))
     return _slq_dense(jnp.asarray(a), fn, seed, num_probes, steps)
@@ -152,10 +156,11 @@ def _logdet_fn(shift: float) -> Callable:
 
 def logdet_psd(a, seed=0, num_probes: int = 16, steps: int = 30,
                shift: float = 0.0, n: int = None,
-               dtype=jnp.float32) -> jax.Array:
+               dtype=jnp.float32, operands=()) -> jax.Array:
     """log det(A + shift I) for symmetric positive-definite A via SLQ —
     no Cholesky of A, only `steps` matvecs per probe.  ``a`` may be a
-    matrix-free operator (pass ``n``, see :func:`slq_trace`)."""
+    matrix-free operator (pass ``n``/``operands``, see
+    :func:`slq_trace`)."""
     return slq_trace(a, _logdet_fn(float(shift)),
                      seed=seed, num_probes=num_probes, steps=steps,
-                     n=n, dtype=dtype)
+                     n=n, dtype=dtype, operands=operands)

@@ -59,23 +59,35 @@ def _hutchinson_dense(a, seed, num_samples: int, kind: str):
 
 @partial(jax.jit, static_argnames=("apply_a", "n", "num_samples", "kind",
                                    "dtype"))
-def _hutchinson_op(seed, *, apply_a, n: int, num_samples: int, kind: str,
-                   dtype):
-    return _hutchinson_body(apply_a, seed, n, num_samples, kind, dtype)
+def _hutchinson_op(seed, *operands, apply_a, n: int, num_samples: int,
+                   kind: str, dtype):
+    return _hutchinson_body(lambda x: apply_a(x, *operands), seed, n,
+                            num_samples, kind, dtype)
+
+
+# Matrix-free calling convention, shared by hutchinson/hutchpp/
+# diag_estimate (and slq_trace/logdet_psd in rsvd/slq.py):
+#   estimator(apply_a, n=..., operands=(op1, op2, ...))
+# where apply_a(X, *operands) -> A X is a traceable callable.  The
+# callable is a STATIC jit key (pass a stable function, not a fresh
+# lambda per call) and MUST NOT close over device arrays — closure
+# constants serialize into the program shipped to the (possibly remote)
+# compiler (CLAUDE.md jit-closure rule).  Put the operator's data in
+# ``operands``; they are traced arguments.
+_MATRIX_FREE_DOC = """
+    ``a`` is a square matrix OR a matrix-free operator
+    ``apply_a(X, *operands) -> A X`` (e.g. a Hessian-vector product), in
+    which case ``n`` (and optionally ``dtype``) must be given and the
+    operator's device-array data passed via ``operands`` — NOT captured
+    in the closure (see the module's matrix-free convention note).
+"""
 
 
 def hutchinson(a, seed=0, num_samples: int = 64,
                kind: str = "rademacher", n: int = None,
-               dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+               dtype=jnp.float32,
+               operands=()) -> Tuple[jax.Array, jax.Array]:
     """Girard-Hutchinson trace estimator.
-
-    ``a`` is a square matrix OR a matrix-free operator: a traceable
-    callable ``X (n x m) -> A X`` (e.g. a Hessian-vector product), in
-    which case ``n`` (and optionally ``dtype``) must be given.  A
-    callable is a STATIC jit key — pass a stable function, not a fresh
-    lambda per call, and pass any captured device arrays as closure of a
-    module-level function rather than re-closing each call (see
-    CLAUDE.md's jit-closure rule).
 
     Returns ``(estimate, stderr)`` where stderr is the sample standard
     error of the ``num_samples`` independent quadratic forms — an honest,
@@ -88,10 +100,13 @@ def hutchinson(a, seed=0, num_samples: int = 64,
     if callable(a):
         if n is None:
             raise ValueError("matrix-free hutchinson needs n")
-        return _hutchinson_op(seed, apply_a=a, n=int(n),
+        return _hutchinson_op(seed, *operands, apply_a=a, n=int(n),
                               num_samples=num_samples, kind=kind,
                               dtype=jnp.dtype(dtype))
     return _hutchinson_dense(jnp.asarray(a), seed, num_samples, kind)
+
+
+hutchinson.__doc__ += _MATRIX_FREE_DOC
 
 
 def _hutchpp_body(apply_a, seed, n, budget, kind, dtype):
@@ -116,16 +131,19 @@ def _hutchpp_dense(a, seed, budget: int, kind: str):
 
 @partial(jax.jit, static_argnames=("apply_a", "n", "budget", "kind",
                                    "dtype"))
-def _hutchpp_op(seed, *, apply_a, n: int, budget: int, kind: str, dtype):
-    return _hutchpp_body(apply_a, seed, n, budget, kind, dtype)
+def _hutchpp_op(seed, *operands, apply_a, n: int, budget: int, kind: str,
+                dtype):
+    return _hutchpp_body(lambda x: apply_a(x, *operands), seed, n, budget,
+                         kind, dtype)
 
 
 def hutchpp(a, seed=0, budget: int = 96, kind: str = "rademacher",
-            n: int = None, dtype=jnp.float32) -> jax.Array:
+            n: int = None, dtype=jnp.float32, operands=()) -> jax.Array:
     """Hutch++: variance-reduced trace estimation in a 3-way budget split.
 
-    ``a``: square matrix or matrix-free operator ``X -> A X`` (pass
-    ``n``; see :func:`hutchinson` for the static-callable rules).
+    ``a``: square matrix or matrix-free operator ``apply_a(X, *operands)
+    -> A X`` (pass ``n``; see :func:`hutchinson` for the calling
+    convention and jit-closure rules).
 
     With m = budget//3: sketch S (n x m) captures range(A)'s dominant
     subspace Q = orth(A S) whose trace contribution tr(Q^T A Q) is computed
@@ -138,8 +156,9 @@ def hutchpp(a, seed=0, budget: int = 96, kind: str = "rademacher",
     if callable(a):
         if n is None:
             raise ValueError("matrix-free hutchpp needs n")
-        return _hutchpp_op(seed, apply_a=a, n=int(n), budget=budget,
-                           kind=kind, dtype=jnp.dtype(dtype))
+        return _hutchpp_op(seed, *operands, apply_a=a, n=int(n),
+                           budget=budget, kind=kind,
+                           dtype=jnp.dtype(dtype))
     return _hutchpp_dense(jnp.asarray(a), seed, budget, kind)
 
 
@@ -160,17 +179,20 @@ def _diag_dense(a, seed, num_samples: int):
 
 
 @partial(jax.jit, static_argnames=("apply_a", "n", "num_samples", "dtype"))
-def _diag_op(seed, *, apply_a, n: int, num_samples: int, dtype):
-    return _diag_body(apply_a, seed, n, num_samples, dtype)
+def _diag_op(seed, *operands, apply_a, n: int, num_samples: int, dtype):
+    return _diag_body(lambda x: apply_a(x, *operands), seed, n,
+                      num_samples, dtype)
 
 
 def diag_estimate(a, seed=0, num_samples: int = 128, n: int = None,
-                  dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+                  dtype=jnp.float32,
+                  operands=()) -> Tuple[jax.Array, jax.Array]:
     """Stochastic diagonal estimation (Bekas-Kokiopoulou-Saad 2007):
     diag(A) = E[g * (A g)] for Rademacher g (elementwise product).
 
-    ``a``: square matrix or matrix-free operator ``X -> A X`` (pass
-    ``n``; see :func:`hutchinson` for the static-callable rules).
+    ``a``: square matrix or matrix-free operator ``apply_a(X, *operands)
+    -> A X`` (pass ``n``; see :func:`hutchinson` for the calling
+    convention and jit-closure rules).
 
     Returns ``(diag_est, stderr)`` with per-entry sample standard errors.
     One GEMM of shape (n x n)(n x m) regardless of m — batching the probes
@@ -179,6 +201,6 @@ def diag_estimate(a, seed=0, num_samples: int = 128, n: int = None,
     if callable(a):
         if n is None:
             raise ValueError("matrix-free diag_estimate needs n")
-        return _diag_op(seed, apply_a=a, n=int(n),
+        return _diag_op(seed, *operands, apply_a=a, n=int(n),
                         num_samples=num_samples, dtype=jnp.dtype(dtype))
     return _diag_dense(jnp.asarray(a), seed, num_samples)

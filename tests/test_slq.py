@@ -11,6 +11,10 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.slq import (
 )
 
 
+def _op_matvec(v, mat):
+    return mat @ v
+
+
 def _spd(n, cond=100.0, seed=0):
     rng = np.random.default_rng(seed)
     q, _ = np.linalg.qr(rng.standard_normal((n, n)))
@@ -79,16 +83,13 @@ class TestSLQ:
     def test_matrix_free_operator_matches_dense(self):
         a, _ = _spd(80, seed=9)
         aj = jnp.asarray(a)
-
-        def apply_a(v):
-            # stable module-level-style callable; closure over aj is fine
-            # in a test (single call site)
-            return aj @ v
-
+        # the operator's matrix arrives as a traced OPERAND, not a
+        # closure (rsvd/trace.py matrix-free convention)
         dense = float(slq_trace(aj, jnp.exp, seed=4, num_probes=8,
                                 steps=15))
-        op = float(slq_trace(apply_a, jnp.exp, seed=4, num_probes=8,
-                             steps=15, n=80, dtype=aj.dtype))
+        op = float(slq_trace(_op_matvec, jnp.exp, seed=4, num_probes=8,
+                             steps=15, n=80, dtype=aj.dtype,
+                             operands=(aj,)))
         assert abs(dense - op) < 1e-8 * abs(dense)
 
     def test_matrix_free_needs_n(self):

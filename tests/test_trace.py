@@ -69,40 +69,56 @@ class TestHutchPP:
         assert np.median(err_pp) < 0.2 * np.median(err_h)
 
 
+# module-level stable callable; the operator's data arrives as a traced
+# operand, never a closure (the trace.py matrix-free convention)
+def _gram_apply(x, b):
+    """A x = B (B^T x) — A never formed."""
+    return b @ (b.T @ x)
+
+
 class TestMatrixFree:
     def test_hutchinson_operator_matches_dense(self):
+        import jax.numpy as jnp
+
         rng = np.random.default_rng(20)
         b = rng.standard_normal((120, 10))
         a = b @ b.T
-        bj = np.asarray(b)
-
-        import jax.numpy as jnp
-
         bj = jnp.asarray(b)
-
-        def apply_a(x):          # A x = B (B^T x) — A never formed
-            return bj @ (bj.T @ x)
-
         e_dense, _ = hutchinson(a, seed=3, num_samples=64)
-        e_op, _ = hutchinson(apply_a, seed=3, num_samples=64, n=120,
-                             dtype=bj.dtype)
+        e_op, _ = hutchinson(_gram_apply, seed=3, num_samples=64, n=120,
+                             dtype=bj.dtype, operands=(bj,))
         np.testing.assert_allclose(float(e_dense), float(e_op), rtol=1e-6)
 
     def test_hutchpp_operator_matches_dense(self):
+        import jax.numpy as jnp
+
         rng = np.random.default_rng(21)
         b = rng.standard_normal((100, 8))
         a = b @ b.T
+        bj = jnp.asarray(b)
+        e_dense = hutchpp(a, seed=0, budget=48)
+        e_op = hutchpp(_gram_apply, seed=0, budget=48, n=100,
+                       dtype=bj.dtype, operands=(bj,))
+        np.testing.assert_allclose(float(e_dense), float(e_op), rtol=1e-6)
 
+    def test_operand_change_no_retrace(self):
+        # same callable + new operand values must hit the same jit cache
+        # entry (operands are traced, the callable is the static key)
         import jax.numpy as jnp
 
-        bj = jnp.asarray(b)
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.trace import (
+            _hutchinson_op,
+        )
 
-        def apply_a(x):
-            return bj @ (bj.T @ x)
-
-        e_dense = hutchpp(a, seed=0, budget=48)
-        e_op = hutchpp(apply_a, seed=0, budget=48, n=100, dtype=bj.dtype)
-        np.testing.assert_allclose(float(e_dense), float(e_op), rtol=1e-6)
+        rng = np.random.default_rng(22)
+        b1 = jnp.asarray(rng.standard_normal((50, 4)))
+        b2 = jnp.asarray(rng.standard_normal((50, 4)))
+        hutchinson(_gram_apply, n=50, num_samples=8, dtype=b1.dtype,
+                   operands=(b1,))
+        before = _hutchinson_op._cache_size()
+        hutchinson(_gram_apply, n=50, num_samples=8, dtype=b2.dtype,
+                   operands=(b2,))
+        assert _hutchinson_op._cache_size() == before
 
     def test_operator_needs_n(self):
         import pytest
