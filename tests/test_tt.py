@@ -56,6 +56,17 @@ class TestTT:
         with pytest.raises(ValueError):
             tt_decompose(np.zeros((3, 3, 3)), (2,))
 
+    def test_pythagorean_identity(self):
+        # TT-SVD is also a composition of orthogonal projections, so
+        # ||A - TT||^2 = ||A||^2 - ||TT||^2 exactly (same telescoping
+        # argument as Tucker's) — holds for ANY ranks, randomized or not
+        t = np.random.default_rng(9).standard_normal((10, 9, 8, 7))
+        cores = tt_decompose(t, (3, 4, 3), seed=1)
+        rec = np.asarray(tt_reconstruct(cores))
+        lhs = np.linalg.norm(t - rec) ** 2
+        rhs = np.linalg.norm(t) ** 2 - np.linalg.norm(rec) ** 2
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
     def test_quantized_reshape_compresses_smooth_signal(self):
         # the classic QTT use case: a smooth 1-D signal reshaped to
         # 2x2x...x2 has tiny TT ranks

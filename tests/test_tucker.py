@@ -81,6 +81,18 @@ class TestTucker:
         with pytest.raises(ValueError):
             tucker(np.zeros((3, 3, 3)), (2, 2))
 
+    def test_pythagorean_identity(self):
+        # the reconstruction is a composition of orthogonal projections,
+        # so ||A - rec||^2 = ||A||^2 - ||core||^2 EXACTLY (each residual
+        # is orthogonal to everything later projections keep) — a sharp
+        # all-paths correctness invariant, no randomness involved
+        t = np.random.default_rng(9).standard_normal((14, 12, 10))
+        core, factors = tucker(t, (5, 4, 3), seed=0)
+        rec = np.asarray(tucker_reconstruct(core, factors))
+        lhs = np.linalg.norm(t - rec) ** 2
+        rhs = np.linalg.norm(t) ** 2 - np.linalg.norm(np.asarray(core)) ** 2
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
     def test_over_asked_ranks_clip_consistently(self):
         # mode 0's unfolding shrinks to 2x2=4 columns once the other two
         # modes are contracted first — the returned core/factors must
