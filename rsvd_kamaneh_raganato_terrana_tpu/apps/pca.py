@@ -200,3 +200,73 @@ def load_athletic_dataset(path: str):
     from rsvd_kamaneh_raganato_terrana_tpu.core.io import load_whitespace_dataset
 
     return load_whitespace_dataset(path, skip_cols=1)
+
+
+class StreamingPCA:
+    """One-pass PCA over an unbounded row stream, O(l * d) memory.
+
+    The reference's ``addData`` (PCA_class.hpp:58-62) recomputes from all
+    retained rows; this class never retains rows: a Frequent Directions
+    sketch (rsvd/fd.py) absorbs the UNcentered stream with its
+    deterministic Gram bound, a running mean/count tracks centering, and
+    ``finalize`` eigendecomposes the mean-corrected sketch Gram
+
+        C_hat = (S^T S - n mu mu^T) / (n - 1)
+
+    — equal to the true sample covariance up to FD's additive
+    ``||A - A_k||_F^2 / (l - k)`` (so for streams whose centered rank is
+    below ``l`` the result matches batch PCA to roundoff).
+
+    >>> sp = StreamingPCA(n_features=d, l=64)
+    >>> for batch in stream:
+    ...     sp.update(batch)
+    >>> lam, components = sp.finalize(k=8)   # descending eigenpairs
+    """
+
+    def __init__(self, n_features: int, l: int = 64, dtype=jnp.float32):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.fd import (
+            FrequentDirections,
+        )
+
+        self.d = int(n_features)
+        self._fd = FrequentDirections(self.d, int(l), dtype=dtype)
+        self._sum = np.zeros((self.d,), dtype=np.float64)
+        self._n = 0
+
+    def update(self, rows) -> "StreamingPCA":
+        rows = np.asarray(rows)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        self._sum += rows.sum(axis=0, dtype=np.float64)
+        self._n += rows.shape[0]
+        self._fd.update(rows)
+        return self
+
+    @property
+    def n_seen(self) -> int:
+        return self._n
+
+    @property
+    def mean(self) -> np.ndarray:
+        return self._sum / max(self._n, 1)
+
+    def finalize(self, k: Optional[int] = None):
+        """Top-k eigenpairs of the estimated sample covariance:
+        ``(lam: k, V: d x k)`` descending; lam are UNDER-estimates within
+        FD's deterministic bound."""
+        if self._n < 2:
+            raise ValueError("need at least 2 rows")
+        s = np.asarray(self._fd.sketch(), dtype=np.float64)
+        mu = self.mean
+        g = (s.T @ s - self._n * np.outer(mu, mu)) / (self._n - 1)
+        g = 0.5 * (g + g.T)
+        w, v = np.linalg.eigh(g)
+        w, v = np.maximum(w[::-1], 0.0), v[:, ::-1]
+        kk = min(k or self.d, self.d)
+        return w[:kk], v[:, :kk]
+
+    def project(self, rows, k: Optional[int] = None) -> np.ndarray:
+        """Center new rows with the STREAM mean and project onto the
+        current principal axes."""
+        _, v = self.finalize(k)
+        return (np.asarray(rows) - self.mean[None, :]) @ v

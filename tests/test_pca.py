@@ -3,6 +3,7 @@ and athletic_test.cpp; oracle = sklearn/np SVD of the centered matrix)."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -100,3 +101,49 @@ def test_rsvd_fast_path(rng):
 def test_validation():
     with pytest.raises(ValueError):
         PCA(np.ones((1, 5)))
+
+
+class TestStreamingPCA:
+    def test_matches_batch_pca_on_low_rank_stream(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.apps.pca import StreamingPCA
+
+        rng = np.random.default_rng(30)
+        d, n, r = 20, 600, 4
+        basis = np.linalg.qr(rng.standard_normal((d, r)))[0]
+        a = (rng.standard_normal((n, r)) * [3.0, 2.0, 1.5, 1.0]) @ basis.T
+        a = a + rng.uniform(-1, 1, d)[None, :]      # nonzero mean
+        sp = StreamingPCA(d, l=12, dtype=jnp.float64)
+        for i in range(0, n, 37):                    # ragged batches
+            sp.update(a[i:i + 37])
+        assert sp.n_seen == n
+        lam, v = sp.finalize(k=r)
+        xc = a - a.mean(axis=0)
+        w_true, v_true = np.linalg.eigh(xc.T @ xc / (n - 1))
+        w_true, v_true = w_true[::-1][:r], v_true[:, ::-1][:, :r]
+        np.testing.assert_allclose(lam, w_true, rtol=1e-6)
+        overlap = np.abs(np.einsum("ij,ij->j", v, v_true))
+        assert overlap.min() > 1 - 1e-8
+        # stream mean matches the batch mean
+        np.testing.assert_allclose(sp.mean, a.mean(axis=0), rtol=1e-12)
+
+    def test_eigenvalues_never_overestimate(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.apps.pca import StreamingPCA
+
+        rng = np.random.default_rng(31)
+        a = rng.standard_normal((400, 16))          # full-rank noise
+        sp = StreamingPCA(16, l=8, dtype=jnp.float64)
+        sp.update(a)
+        lam, _ = sp.finalize(k=5)
+        xc = a - a.mean(axis=0)
+        w_true = np.linalg.eigvalsh(xc.T @ xc / 399)[::-1][:5]
+        assert np.all(lam <= w_true + 1e-9)
+
+    def test_project_centers_with_stream_mean(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.apps.pca import StreamingPCA
+
+        rng = np.random.default_rng(32)
+        a = rng.standard_normal((100, 6)) + 5.0
+        sp = StreamingPCA(6, l=6, dtype=jnp.float64).update(a)
+        z = sp.project(a[:3], k=2)
+        assert z.shape == (3, 2)
+        assert np.all(np.isfinite(z))
