@@ -33,6 +33,8 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.interp import (  # noqa: F401
     cur,
     cur_reconstruct,
     id_reconstruct,
+    leverage_sample,
+    leverage_scores,
     row_id,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.krylov import (  # noqa: F401

@@ -152,3 +152,41 @@ def cur_reconstruct(a, cols, rows, u):
     c = jnp.take(a, cols, axis=1)
     r = jnp.take(a, rows, axis=0)
     return _mm(_mm(c, u), r)
+
+
+@partial(jax.jit, static_argnames=("k", "p", "axis"))
+def leverage_scores(a, k: int, p: int = 10, seed: int = 0,
+                    axis: int = 0) -> jax.Array:
+    """Approximate rank-k leverage scores along ``axis`` (0: rows, 1:
+    columns): l_i = ||U_k[i, :]||^2 with U_k the top-k singular subspace
+    from the rSVD range finder.  Scores sum to ~k; row i's score is its
+    statistical importance to the rank-k fit — the sampling weights
+    behind leverage-based CUR/coresets (Mahoney-Drineas 2009).  One
+    rSVD-stage cost; jitted."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd_with_omega
+
+    a = jnp.asarray(a)
+    omega = generate_omega(seed, a.shape[1], min(k + p, min(a.shape)),
+                           a.dtype)
+    u, _, v = rsvd_with_omega(a, omega, q=1, k=k, method="eigh")
+    basis = u if axis == 0 else v
+    return jnp.sum(basis * basis, axis=1)
+
+
+def leverage_sample(a, k: int, num_samples: int, p: int = 10,
+                    seed: int = 0, axis: int = 0):
+    """Sample ``num_samples`` distinct indices along ``axis`` with
+    probability proportional to their rank-k leverage scores — the
+    standard coreset / importance-sampled CUR row (column) selection.
+    Returns ``(indices: int32[num_samples], scores: full-axis)``."""
+    scores = leverage_scores(a, k, p=p, seed=seed, axis=axis)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x1e7a)
+    n = scores.shape[0]
+    num = min(int(num_samples), n)
+    # Gumbel top-k trick: distinct samples proportional to scores in one
+    # vectorized pass (no sequential rejection loop)
+    logits = jnp.log(jnp.maximum(scores, 1e-30))
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, (n,), scores.dtype, 1e-12, 1.0)))
+    _, idx = jax.lax.top_k(logits + gumbel, num)
+    return idx.astype(jnp.int32), scores

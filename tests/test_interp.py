@@ -77,3 +77,43 @@ class TestRowIDAndCUR:
         s = np.linalg.svd(a, compute_uv=False)
         opt = np.sqrt(np.sum(s[8:] ** 2))
         assert np.linalg.norm(a - rec) < 50.0 * opt
+
+
+class TestLeverage:
+    def test_scores_match_exact_subspace(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.interp import (
+            leverage_scores,
+        )
+
+        rng = np.random.default_rng(40)
+        u = np.linalg.qr(rng.standard_normal((80, 4)))[0]
+        a = u @ rng.standard_normal((4, 50))
+        s = np.asarray(leverage_scores(a, 4, seed=1))
+        np.testing.assert_allclose(s, (u ** 2).sum(axis=1), atol=1e-8)
+        np.testing.assert_allclose(s.sum(), 4.0, rtol=1e-9)
+
+    def test_column_axis(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.interp import (
+            leverage_scores,
+        )
+
+        rng = np.random.default_rng(41)
+        v = np.linalg.qr(rng.standard_normal((30, 3)))[0]
+        a = rng.standard_normal((50, 3)) @ v.T
+        s = np.asarray(leverage_scores(a, 3, axis=1, seed=2))
+        np.testing.assert_allclose(s, (v ** 2).sum(axis=1), atol=1e-8)
+
+    def test_sampling_distinct_and_importance_weighted(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.interp import (
+            leverage_sample,
+        )
+
+        rng = np.random.default_rng(42)
+        # one row carries almost all the rank-1 energy
+        a = np.outer(np.r_[10.0, 0.1 * np.ones(99)],
+                     rng.standard_normal(20))
+        a += 1e-6 * rng.standard_normal(a.shape)
+        idx, scores = leverage_sample(a, 1, 5, seed=0)
+        idx = np.asarray(idx)
+        assert len(set(idx.tolist())) == 5          # distinct
+        assert 0 in idx.tolist()                    # dominant row sampled
