@@ -44,6 +44,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.krylov import (  # noqa: F401
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.lstsq import (  # noqa: F401
     lstsq_residual,
     sketch_lstsq,
+    sketch_minnorm,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (  # noqa: F401
     nystrom_psd,

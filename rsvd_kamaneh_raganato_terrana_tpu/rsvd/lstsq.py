@@ -155,6 +155,103 @@ def sketch_lstsq(
     return x[:, 0] if squeeze else x
 
 
+def _pcg_scan(apply_op, precond, b, iters: int):
+    """Fixed-iteration preconditioned conjugate gradients on a SPD
+    operator; b may be (m,) or (m, nrhs) (states carry the rhs axis)."""
+    eps = jnp.asarray(1e-30, b.dtype)
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z, axis=0, keepdims=True)
+
+    def step(carry, _):
+        x, r, p, rz = carry
+        op = apply_op(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * op, axis=0, keepdims=True),
+                                 eps)
+        x = x + alpha * p
+        r = r - alpha * op
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=0, keepdims=True)
+        beta = rz_new / jnp.maximum(rz, eps)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, *_), _ = jax.lax.scan(step, (x, r, p, rz), None, length=iters)
+    return x
+
+
+@partial(jax.jit, static_argnames=("sketch_size", "iters", "kind"))
+def _sketch_minnorm_impl(a, b, seed, sketch_size: int, iters: int,
+                         kind: str):
+    m, n = a.shape
+    # sketch the TALL A^T (n x m): R = qr(S A^T) is m x m with
+    # R^T R ~ A A^T — a Cholesky-quality preconditioner for the normal
+    # equations of the second kind
+    if kind == "sparse":
+        from rsvd_kamaneh_raganato_terrana_tpu.ops.sketching import (
+            countsketch_apply,
+        )
+
+        sat = countsketch_apply(key_from_seed(seed), a.T, sketch_size)
+    else:
+        s_mat = sketch_matrix(key_from_seed(seed), sketch_size, n,
+                              a.dtype, kind)
+        sat = _mm(s_mat, a.T, _HI)
+    _, r_upper = qr_reduced(sat, "robust")          # m x m
+
+    solve_r = partial(jax.scipy.linalg.solve_triangular, r_upper,
+                      lower=False)
+    solve_rt = partial(jax.scipy.linalg.solve_triangular, r_upper.T,
+                       lower=True)
+
+    def apply_aat(y):                               # (A A^T) y, two GEMMs
+        return _mm(a, _mm(a.T, y, _HI), _HI)
+
+    def precond(r):                                 # (R^T R)^{-1} r
+        return solve_r(solve_rt(r))
+
+    y = _pcg_scan(apply_aat, precond, b, iters)
+    return _mm(a.T, y, _HI)                         # x* = A^T y
+
+
+def sketch_minnorm(
+    a,
+    b,
+    sketch_size: int | None = None,
+    iters: int = 40,
+    seed: int = 0,
+    kind: str = "gaussian",
+) -> jax.Array:
+    """Minimum-norm solution of the UNDERdetermined system A x = b
+    (m < n, full row rank): x* = A^T (A A^T)^{-1} b — the dual of
+    :func:`sketch_lstsq`, without ever forming A A^T.
+
+    Mechanism: PCG on the normal equations of the second kind
+    (A A^T) y = b (each iteration two GEMVs against A), preconditioned
+    by R^T R from a sketched QR of the tall A^T — the preconditioned
+    operator is O(1)-conditioned with high probability, so the fixed
+    ``iters`` reach working precision regardless of cond(A); then
+    x* = A^T y lies in range(A^T), which is exactly the minimum-norm
+    property.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b, dtype=a.dtype)
+    m, n = a.shape
+    if m > n:
+        raise ValueError(f"need wide A (m <= n) for min-norm, got "
+                         f"{a.shape}; use sketch_lstsq for tall systems")
+    s = int(min(n, sketch_size if sketch_size is not None else 4 * m))
+    if s < m:
+        raise ValueError(f"sketch_size {s} < m {m} cannot precondition")
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    x = _sketch_minnorm_impl(a, b, seed, s, iters, kind)
+    return x[:, 0] if squeeze else x
+
+
 def lstsq_residual(a, x, b) -> jax.Array:
     """||A x - b||_2 per right-hand side (diagnostic)."""
     a = jnp.asarray(a)

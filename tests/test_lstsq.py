@@ -85,3 +85,49 @@ class TestSketchLstsq:
             sketch_lstsq(np.zeros((5, 10)), np.zeros(5))
         with pytest.raises(ValueError):
             sketch_lstsq(np.zeros((100, 10)), np.zeros(100), sketch_size=5)
+
+
+class TestMinNorm:
+    def test_matches_pinv_solution(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.lstsq import (
+            sketch_minnorm,
+        )
+
+        rng = np.random.default_rng(50)
+        a = rng.standard_normal((30, 200))          # wide, full row rank
+        b = rng.standard_normal(30)
+        x = np.asarray(sketch_minnorm(a, b, seed=0))
+        x_pinv = np.linalg.pinv(a) @ b
+        np.testing.assert_allclose(x, x_pinv, rtol=1e-8, atol=1e-10)
+        # consistency and minimum-norm property
+        np.testing.assert_allclose(a @ x, b, rtol=1e-8, atol=1e-10)
+
+    def test_ill_conditioned_rows(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.lstsq import (
+            sketch_minnorm,
+        )
+
+        rng = np.random.default_rng(51)
+        u, _ = np.linalg.qr(rng.standard_normal((25, 25)))
+        v, _ = np.linalg.qr(rng.standard_normal((300, 25)))
+        s = np.logspace(0, -6, 25)                  # cond 1e6
+        a = (u * s[None, :]) @ v.T                  # 25 x 300
+        b = a @ rng.standard_normal(300)            # consistent
+        x = np.asarray(sketch_minnorm(a, b, seed=1, iters=60))
+        rel = np.linalg.norm(a @ x - b) / np.linalg.norm(b)
+        assert rel < 1e-7, rel
+
+    def test_multiple_rhs_and_guards(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.lstsq import (
+            sketch_minnorm,
+        )
+
+        rng = np.random.default_rng(52)
+        a = rng.standard_normal((10, 80))
+        b = rng.standard_normal((10, 3))
+        x = np.asarray(sketch_minnorm(a, b))
+        assert x.shape == (80, 3)
+        x_pinv = np.linalg.pinv(a) @ b
+        np.testing.assert_allclose(x, x_pinv, rtol=1e-7, atol=1e-9)
+        with pytest.raises(ValueError):
+            sketch_minnorm(np.zeros((80, 10)), np.zeros(80))
