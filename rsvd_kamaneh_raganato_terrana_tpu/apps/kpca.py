@@ -185,6 +185,44 @@ class KernelPCA:
         return self.fit(x).scores_
 
 
+@partial(jax.jit, static_argnames=("kernel", "degree"))
+def _nystrom_feature_map(x, landmarks, kernel: str, gamma, degree: int,
+                         coef0):
+    k_ll = _kernel(landmarks, landmarks, kernel, gamma, degree, coef0)
+    k_ll = 0.5 * (k_ll + k_ll.T)
+    w, u = jnp.linalg.eigh(k_ll)
+    # pseudo-inverse square root: drop directions below a spectrum-
+    # relative floor (rank-deficient landmark sets are common)
+    floor = jnp.finfo(x.dtype).eps * k_ll.shape[0] * jnp.maximum(
+        w[-1], 0.0)
+    inv_sqrt = jnp.where(w > floor, 1.0 / jnp.sqrt(jnp.where(
+        w > floor, w, 1.0)), 0.0)
+    k_xl = _kernel(x, landmarks, kernel, gamma, degree, coef0)
+    return _mm(_mm(k_xl, u), jnp.diag(inv_sqrt))
+
+
+def nystrom_features(x, landmarks, kernel: str = "rbf",
+                     gamma: Optional[float] = None, degree: int = 3,
+                     coef0: float = 1.0) -> jax.Array:
+    """Data-dependent kernel feature map (Williams-Seeger Nyström):
+    z(x) = K(x, L) K(L, L)^{-1/2} for a landmark set L (rows), so
+    z(x) z(y)^T ~ k(x, y) with error set by how well the landmarks cover
+    the data — usually far fewer features than RFF for the same accuracy
+    on clustered data, at the cost of a landmark pass.  Combine with
+    :func:`rsvd.interp.leverage_sample` to pick landmarks by importance.
+    One jitted program: two kernel GEMMs + a replicated landmark eigh.
+    """
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}")
+    x = jnp.asarray(x)
+    landmarks = jnp.asarray(landmarks, x.dtype)
+    if gamma is None:
+        gamma = 1.0 / x.shape[1]
+    return _nystrom_feature_map(x, landmarks, kernel,
+                                jnp.asarray(gamma, x.dtype), degree,
+                                jnp.asarray(coef0, x.dtype))
+
+
 @partial(jax.jit, static_argnames=("n_features",))
 def rff_features(x, n_features: int = 256, gamma: float = 1.0, seed=0
                  ) -> jax.Array:

@@ -134,3 +134,42 @@ class TestRFF:
         z2 = np.asarray(rff_features(x, n_features=64, gamma=1.0, seed=5))
         assert z1.shape == (7, 64)
         np.testing.assert_array_equal(z1, z2)
+
+
+class TestNystromFeatures:
+    def test_exact_on_landmark_subspace(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.apps.kpca import (
+            nystrom_features,
+        )
+
+        # with ALL points as landmarks the approximation is exact:
+        # Z Z^T = K(X,X) K(X,X)^+ K(X,X) = K
+        x = _two_rings(60, seed=20)
+        z = np.asarray(nystrom_features(x, x, gamma=0.5))
+        exact = np.asarray(kernel_matrix(x, x, "rbf", gamma=0.5))
+        np.testing.assert_allclose(z @ z.T, exact, atol=1e-5)
+
+    def test_subset_landmarks_approximate(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.apps.kpca import (
+            nystrom_features,
+        )
+
+        rng = np.random.default_rng(21)
+        # clustered data: a modest landmark set covers it well
+        centers = rng.standard_normal((5, 3)) * 3
+        x = np.concatenate([c + 0.1 * rng.standard_normal((40, 3))
+                            for c in centers])
+        lm = x[::8]                                  # 25 landmarks
+        z = np.asarray(nystrom_features(x, lm, gamma=0.5))
+        exact = np.asarray(kernel_matrix(x, x, "rbf", gamma=0.5))
+        err = np.abs(z @ z.T - exact).max()
+        assert err < 0.05, err
+
+    def test_unknown_kernel_raises(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.apps.kpca import (
+            nystrom_features,
+        )
+
+        with pytest.raises(ValueError):
+            nystrom_features(np.zeros((4, 2)), np.zeros((2, 2)),
+                             kernel="nope")
