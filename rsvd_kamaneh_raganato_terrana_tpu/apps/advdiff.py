@@ -167,6 +167,26 @@ def build_operators(cfg: AdvDiffConfig, mu, dtype=jnp.float64) -> Operators:
     return Operators(lhs, rhs_mat, lu, nodes, h)
 
 
+def mass_matrix(n: int, dtype=jnp.float64) -> jax.Array:
+    """Consistent P1 mass matrix h/6 [1 4 1] on the uniform grid (the
+    reference assembles it cell-by-cell, AdvDiff1D.cpp:96-186)."""
+    h = 1.0 / (n - 1)
+    return _tridiag(n, h / 6.0, 4.0 * h / 6.0, h / 6.0, dtype)
+
+
+def reaction(u, kind: str, c):
+    """Pointwise (nodal) reaction nonlinearity g(u) for the
+    advection-diffusion-REACTION demo (beyond the reference's linear PDE):
+    'cubic' -> c u^3 (Allen-Cahn-type), 'expm1' -> c (e^u - 1)
+    (Frank-Kamenetskii-type).  Memoryless and nodewise — exactly the
+    structure DEIM point-samples."""
+    if kind == "cubic":
+        return c * u * u * u
+    if kind == "expm1":
+        return c * jnp.expm1(u)
+    raise ValueError(f"unknown reaction kind: {kind!r}")
+
+
 def load_vector(t, mu, cfg: AdvDiffConfig, nodes, dtype=jnp.float64):
     """F_i(t) = int f(x,t) phi_i dx by 2-point Gauss per cell (matching
     deal.II QGauss(degree+1), AdvDiff1D.cpp:189-267)."""
@@ -240,6 +260,46 @@ def solve_fom(cfg: AdvDiffConfig, mu, dtype=None,
 
     u_final, traj = jax.lax.scan(step, u0, f_theta)
     # traj: (n_steps, n) solutions at steps 1..n_steps
+    sampled = traj[cfg.sample_every - 1 :: cfg.sample_every]
+    snaps = sampled.T
+    if include_initial:
+        snaps = jnp.concatenate([u0[:, None], snaps], axis=1)
+    return FOMResult(u_final, snaps, times)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "kind", "dtype", "include_initial"))
+def solve_fom_reaction(cfg: AdvDiffConfig, mu, c_react, kind: str = "cubic",
+                       dtype=None, include_initial: bool = False) -> FOMResult:
+    """Full-order solve of u_t - mu u_xx + beta u_x + g(u) = f with the
+    reaction treated semi-implicitly (group-FEM/product approximation:
+    the nonlinear load is M g(u_n) with g applied nodewise, lagged one
+    step; linear part stays theta-implicit, so the constant LU still
+    amortizes).  Beyond-parity: the reference FOM is linear-only
+    (AdvDiff1D.cpp); this is the testbed for DEIM model reduction."""
+    if dtype is None:
+        dtype = default_fem_dtype()
+    mu = jnp.asarray(mu, dtype)
+    c_react = jnp.asarray(c_react, dtype)
+    ops = build_operators(cfg, mu, dtype)
+    n = cfg.n_nodes
+    mass_d = mass_matrix(n, dtype).at[0].set(0.0).at[-1].set(0.0)
+    u0 = initial_condition(ops.nodes, cfg.u0_choice, cfg.amplitude).astype(dtype)
+    u0 = u0.at[0].set(0.0).at[-1].set(0.0)
+
+    times = jnp.arange(cfg.n_steps + 1, dtype=dtype) * cfg.deltat
+    f_all = jax.vmap(lambda t: load_vector(t, mu, cfg, ops.nodes, dtype))(times)
+    f_theta = cfg.theta * f_all[1:] + (1.0 - cfg.theta) * f_all[:-1]
+    f_theta = f_theta.at[:, 0].set(0.0).at[:, -1].set(0.0)
+
+    def step(u, f_t):
+        g = reaction(u, kind, c_react)
+        rhs = (ops.rhs_mat @ u + f_t - mass_d @ g)
+        rhs = rhs.at[0].set(0.0).at[-1].set(0.0)
+        u_new = jax.scipy.linalg.lu_solve(ops.lu, rhs)
+        return u_new, u_new
+
+    u_final, traj = jax.lax.scan(step, u0, f_theta)
     sampled = traj[cfg.sample_every - 1 :: cfg.sample_every]
     snaps = sampled.T
     if include_initial:

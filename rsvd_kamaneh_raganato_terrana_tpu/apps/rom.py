@@ -109,6 +109,111 @@ def solve_rom(cfg: AdvDiffConfig, mu, modes, dtype=None) -> jax.Array:
     return u_final
 
 
+@partial(jax.jit, static_argnames=("cfg", "kind", "dtype"))
+def solve_rom_reaction_full(cfg: AdvDiffConfig, mu, modes, c_react,
+                            kind: str = "cubic", dtype=None) -> jax.Array:
+    """Galerkin ROM for the advection-diffusion-REACTION FOM
+    (advdiff.solve_fom_reaction) with the nonlinearity evaluated in FULL
+    order each step — the accuracy yardstick for ``solve_rom_deim`` (and
+    the O(Nh) per-step cost DEIM exists to remove)."""
+    if dtype is None:
+        dtype = advdiff.default_fem_dtype()
+    mu = jnp.asarray(mu, dtype)
+    c_react = jnp.asarray(c_react, dtype)
+    t = jnp.nan_to_num(jnp.asarray(modes, dtype))
+    ops = build_operators(cfg, mu, dtype)
+    n = cfg.n_nodes
+    mass_d = advdiff.mass_matrix(n, dtype).at[0].set(0.0).at[-1].set(0.0)
+    lhs_r = jnp.matmul(t.T, jnp.matmul(ops.lhs, t, precision=DOT_PRECISION),
+                       precision=DOT_PRECISION)
+    lu_r = jax.scipy.linalg.lu_factor(lhs_r)
+
+    u0 = initial_condition(ops.nodes, cfg.u0_choice, cfg.amplitude).astype(dtype)
+    u0 = u0.at[0].set(0.0).at[-1].set(0.0)
+    gram_t = jnp.matmul(t.T, t, precision=DOT_PRECISION)
+    r0 = jnp.linalg.solve(gram_t, jnp.matmul(t.T, u0, precision=DOT_PRECISION))
+    u_f0 = jnp.matmul(t, r0, precision=DOT_PRECISION)
+
+    times = jnp.arange(cfg.n_steps + 1, dtype=dtype) * cfg.deltat
+    f_all = jax.vmap(
+        lambda tt: advdiff.load_vector(tt, mu, cfg, ops.nodes, dtype)
+    )(times)
+    f_theta = cfg.theta * f_all[1:] + (1.0 - cfg.theta) * f_all[:-1]
+    f_theta = f_theta.at[:, 0].set(0.0).at[:, -1].set(0.0)
+
+    def step(u_f, f_t):
+        g = advdiff.reaction(u_f, kind, c_react)
+        rhs = (ops.rhs_mat @ u_f + f_t - mass_d @ g)
+        rhs = rhs.at[0].set(0.0).at[-1].set(0.0)
+        rhs_r = jnp.matmul(t.T, rhs, precision=DOT_PRECISION)
+        u_r = jax.scipy.linalg.lu_solve(lu_r, rhs_r)
+        return jnp.matmul(t, u_r, precision=DOT_PRECISION), None
+
+    u_final, _ = jax.lax.scan(step, u_f0, f_theta)
+    return u_final
+
+
+@partial(jax.jit, static_argnames=("cfg", "kind", "dtype"))
+def solve_rom_deim(cfg: AdvDiffConfig, mu, modes, deim, c_react,
+                   kind: str = "cubic", dtype=None) -> jax.Array:
+    """POD-DEIM ROM: fully reduced online stage.  ``deim`` is an
+    ``rsvd.deim.Deim`` fitted on nonlinearity snapshots (g applied to the
+    FOM snapshot matrix — g is nodewise, so g-snapshots are free).
+
+    Offline (here, once per (mu, rom size)): project the linear operators
+    to r x r, the forcing to steps x r, and precompute
+      E = T^T M_d proj   (r x m)   and   S = T[idx, :]   (m x r),
+    so each online step is O(r^2 + r m):
+      rhs_r = R_lin u_r + f_r - E g(S u_r).
+    Because g is memoryless/nodewise, g(u)[idx] == g(u[idx]) — the DEIM
+    point evaluations need only the m sampled entries S u_r, never the
+    expanded state.  Equivalent to ``solve_rom_reaction_full`` up to the
+    DEIM interpolation error (the step recursion is algebraically
+    identical when the nonlinearity lies in span(deim.basis)).
+    Returns the final-time solution expanded to FOM space."""
+    if dtype is None:
+        dtype = advdiff.default_fem_dtype()
+    mu = jnp.asarray(mu, dtype)
+    c_react = jnp.asarray(c_react, dtype)
+    t = jnp.nan_to_num(jnp.asarray(modes, dtype))
+    ops = build_operators(cfg, mu, dtype)
+    n = cfg.n_nodes
+    mass_d = advdiff.mass_matrix(n, dtype).at[0].set(0.0).at[-1].set(0.0)
+
+    lhs_r = jnp.matmul(t.T, jnp.matmul(ops.lhs, t, precision=DOT_PRECISION),
+                       precision=DOT_PRECISION)
+    lu_r = jax.scipy.linalg.lu_factor(lhs_r)
+    r_lin = jnp.matmul(t.T, jnp.matmul(ops.rhs_mat, t,
+                                       precision=DOT_PRECISION),
+                       precision=DOT_PRECISION)
+    proj = jnp.asarray(deim.proj, dtype)
+    e_mat = jnp.matmul(t.T, jnp.matmul(mass_d, proj,
+                                       precision=DOT_PRECISION),
+                       precision=DOT_PRECISION)          # r x m
+    s_mat = jnp.take(t, deim.indices, axis=0)            # m x r
+
+    u0 = initial_condition(ops.nodes, cfg.u0_choice, cfg.amplitude).astype(dtype)
+    u0 = u0.at[0].set(0.0).at[-1].set(0.0)
+    gram_t = jnp.matmul(t.T, t, precision=DOT_PRECISION)
+    r0 = jnp.linalg.solve(gram_t, jnp.matmul(t.T, u0, precision=DOT_PRECISION))
+
+    times = jnp.arange(cfg.n_steps + 1, dtype=dtype) * cfg.deltat
+    f_all = jax.vmap(
+        lambda tt: advdiff.load_vector(tt, mu, cfg, ops.nodes, dtype)
+    )(times)
+    f_theta = cfg.theta * f_all[1:] + (1.0 - cfg.theta) * f_all[:-1]
+    f_theta = f_theta.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    f_r = jnp.matmul(f_theta, t, precision=DOT_PRECISION)  # steps x r
+
+    def step(u_r, f_t_r):
+        g_pts = advdiff.reaction(s_mat @ u_r, kind, c_react)   # m values
+        rhs_r = r_lin @ u_r + f_t_r - e_mat @ g_pts
+        return jax.scipy.linalg.lu_solve(lu_r, rhs_r), None
+
+    u_r_final, _ = jax.lax.scan(step, r0, f_r)
+    return jnp.matmul(t, u_r_final, precision=DOT_PRECISION)
+
+
 def relative_l2_error(u_fom, u_rom) -> float:
     """||u_fom - u_rom|| / ||u_fom|| (reference Diff1D.cpp:264-266)."""
     return float(jnp.linalg.norm(u_fom - u_rom) / jnp.linalg.norm(u_fom))

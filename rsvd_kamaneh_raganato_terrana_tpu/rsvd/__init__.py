@@ -17,6 +17,14 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.cp import (  # noqa: F401
     cp_reconstruct,
     khatri_rao,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.deim import (  # noqa: F401
+    Deim,
+    deim_condition,
+    deim_fit,
+    deim_indices,
+    deim_interpolate,
+    deim_projector,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.diagnostics import (  # noqa: F401
     factorization_error_estimate,
     principal_angles,
