@@ -38,6 +38,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # per-precision MXU ceilings for f32 inputs on this chip (TFLOP/s):
 # bf16 peak ~197 (v5e-class); highest = 6-pass bf16, high = 3-pass.
 ROOFLINE_TFLOPS = {"highest": 197.0 / 6, "high": 197.0 / 3, "default": 197.0}
