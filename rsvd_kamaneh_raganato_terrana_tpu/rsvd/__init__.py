@@ -85,6 +85,10 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tt import (  # noqa: F401
     tt_ranks,
     tt_reconstruct,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.utv import (  # noqa: F401
+    rutv,
+    rutv_reconstruct,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tucker import (  # noqa: F401
     tucker,
     tucker_adaptive,
