@@ -39,6 +39,38 @@ def test_image_main(tmp_path, capsys):
     assert os.path.exists(str(tmp_path / "src_factors.rsv"))
 
 
+def test_rsvd_main(tmp_path, capsys):
+    """The reference root-test workflow (tests/rSVD_test.cpp:15-118):
+    factorize a .mtx, print the reconstruction norm, export factors."""
+    from rsvd_kamaneh_raganato_terrana_tpu.apps.rsvd_main import main
+    from rsvd_kamaneh_raganato_terrana_tpu.core.io import (
+        read_matrix_market,
+        write_matrix_market,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((40, 8)) @ rng.standard_normal((8, 30))
+    src = str(tmp_path / "a.mtx")
+    write_matrix_market(src, a)
+
+    save = str(tmp_path / "out")
+    rc = main([src, "--k", "8", "--p", "8", "--method", "eigh",
+               "--save-dir", save])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "||A-USV^T||" in text
+    # exact on rank-8 input: printed norm ~ 0
+    import re
+
+    err = float(re.search(r"\|\| = ([0-9.e+-]+)", text).group(1))
+    assert err < 1e-8
+    u = read_matrix_market(os.path.join(save, "a_U.mtx"))
+    s = read_matrix_market(os.path.join(save, "a_S.mtx"))
+    v = read_matrix_market(os.path.join(save, "a_V.mtx"))
+    recon = u @ np.diag(s[:, 0]) @ v.T
+    assert np.linalg.norm(recon - a) < 1e-8
+
+
 def _write_pod_inputs(tmp_path):
     pod = tmp_path / "pod.txt"
     pod.write_text(
