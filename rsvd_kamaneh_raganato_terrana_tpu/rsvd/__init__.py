@@ -17,6 +17,14 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.cp import (  # noqa: F401
     cp_reconstruct,
     khatri_rao,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.completion import (  # noqa: F401
+    CompletionResult,
+    complete_lowrank,
+)
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.rpca import (  # noqa: F401
+    RpcaResult,
+    rpca,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.deim import (  # noqa: F401
     Deim,
     deim_condition,

