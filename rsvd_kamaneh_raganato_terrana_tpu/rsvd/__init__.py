@@ -41,6 +41,12 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.diagnostics import (  # noqa: F401
     stable_rank_estimate,
     subspace_distance,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.dmd import (  # noqa: F401
+    DmdResult,
+    dmd,
+    dmd_predict,
+    dmd_reconstruction_error,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.fd import (  # noqa: F401
     FrequentDirections,
 )

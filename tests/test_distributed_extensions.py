@@ -70,6 +70,64 @@ def test_tucker_shard_invariant_first_mode(mesh8, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
 
 
+def test_rutv_shard_invariant(mesh8, rng):
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.utv import rutv
+
+    a_np = rng.standard_normal((256, 96))
+    u1, t1, v1 = rutv(jnp.asarray(a_np), k=8, p=8)
+    u8, t8, v8 = rutv(shard_rows(jnp.asarray(a_np), mesh8), k=8, p=8)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t8), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u8), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v8), atol=1e-8)
+
+
+def test_completion_shard_invariant(mesh8, rng):
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.completion import (
+        complete_lowrank,
+    )
+
+    a_np = (rng.standard_normal((128, 64))[:, :4]
+            @ rng.standard_normal((4, 64)))
+    mask = rng.random((128, 64)) < 0.6
+    r1 = complete_lowrank(jnp.asarray(a_np), jnp.asarray(mask), k=4,
+                          iters=10)
+    r8 = complete_lowrank(shard_rows(jnp.asarray(a_np), mesh8),
+                          shard_rows(jnp.asarray(mask), mesh8), k=4,
+                          iters=10)
+    np.testing.assert_allclose(np.asarray(r1.s), np.asarray(r8.s),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(r1.obs_rmse),
+                               np.asarray(r8.obs_rmse), rtol=1e-7)
+
+
+def test_rpca_shard_invariant(mesh8, rng):
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.rpca import rpca
+
+    low = (rng.standard_normal((128, 64))[:, :3]
+           @ rng.standard_normal((3, 64)))
+    sp = np.where(rng.random((128, 64)) < 0.05,
+                  5.0 * rng.standard_normal((128, 64)), 0.0)
+    m = jnp.asarray(low + sp)
+    r1 = rpca(m, k_max=6, iters=20)
+    r8 = rpca(shard_rows(m, mesh8), k_max=6, iters=20)
+    np.testing.assert_allclose(np.asarray(r1.low_rank),
+                               np.asarray(r8.low_rank), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.resid), np.asarray(r8.resid),
+                               atol=1e-9)
+
+
+def test_deim_fit_shard_invariant(mesh8, rng):
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.deim import deim_fit
+
+    snaps = rng.standard_normal((256, 24))
+    d1 = deim_fit(jnp.asarray(snaps), m=6)
+    d8 = deim_fit(shard_rows(jnp.asarray(snaps), mesh8), m=6)
+    np.testing.assert_array_equal(np.asarray(d1.indices),
+                                  np.asarray(d8.indices))
+    np.testing.assert_allclose(np.asarray(d1.proj), np.asarray(d8.proj),
+                               atol=1e-8)
+
+
 def test_frequent_directions_shard_invariant_columns(mesh8, rng):
     # FD streams rows; its device state is the 2l x n buffer, so the
     # natural sharding is along n (columns) — the sketch must not change
