@@ -86,6 +86,33 @@ def main():
                       scaled_variants((at, bt)))
     record("sketch_lstsq_i40", f"{8 * n}x128", per)
 
+    # rank-revealing UTV at the headline shape
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
+        complete_lowrank,
+        rpca,
+        rutv,
+    )
+
+    sq = jnp.asarray(rng.standard_normal((n, n)).astype("float32"))
+    per = chain_delta(lambda x: rutv(x, k=64, p=16)[1],
+                      scaled_variants((sq,)))
+    record("rutv_k64", f"{n}x{n}", per)
+
+    # robust PCA and completion on a quarter-size problem (whole
+    # iteration loops = one program each)
+    nq = n // 4
+    lowq = jnp.asarray(
+        (rng.standard_normal((nq, 16)) @ rng.standard_normal((16, nq))
+         ).astype("float32"))
+    per = chain_delta(lambda x: rpca(x, k_max=32, iters=20).low_rank,
+                      scaled_variants((lowq,)))
+    record("rpca_k32_it20", f"{nq}x{nq}", per)
+    maskq = jnp.asarray(rng.random((nq, nq)) < 0.5)
+    per = chain_delta(
+        lambda x: complete_lowrank(x, maskq, k=16, iters=15).s,
+        scaled_variants((lowq,)))
+    record("completion_k16_it15", f"{nq}x{nq}", per)
+
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w", newline="") as f:
         wtr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
