@@ -167,6 +167,12 @@ class RandomizedPCA(TransformerMixin, BaseEstimator):
         self.explained_variance_ratio_ = (
             self.explained_variance_ / total_var if total_var > 0
             else np.zeros_like(s))
+        # sklearn PCA semantics: average variance in the discarded
+        # dimensions (0 when nothing is discarded)
+        n_rest = x.shape[1] - self.n_components
+        self.noise_variance_ = (
+            max(total_var - float(self.explained_variance_.sum()), 0.0)
+            / n_rest if n_rest > 0 else 0.0)
         self.n_features_in_ = x.shape[1]
         return u * s[None, :]
 

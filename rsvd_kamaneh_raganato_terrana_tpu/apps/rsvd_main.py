@@ -65,8 +65,9 @@ def main(argv=None):
         t0 = time.perf_counter()
         u, s, v = rsvd(a, k=args.k, p=args.p, q=args.q, method=args.method,
                        precision=args.precision, seed=args.seed)
-        err = float(reconstruction_error(a, u, s, v))
+        float(s[0])          # force the factorization before stopping the clock
         dt = (time.perf_counter() - t0) * 1e3
+        err = float(reconstruction_error(a, u, s, v))
         stem = os.path.splitext(os.path.basename(path))[0]
         print(f"{stem}: {a.shape[0]}x{a.shape[1]} l={s.shape[0]} "
               f"||A-USV^T|| = {err:.6e}  ({dt:.1f} ms)")

@@ -29,9 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from rsvd_kamaneh_raganato_terrana_tpu.core.rng import sketch_matrix
-from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import orthonormal_basis
-from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import svd as small_svd
-from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _mm
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _mm, rsvd_with_omega
 
 
 class CompletionResult(NamedTuple):
@@ -41,20 +39,16 @@ class CompletionResult(NamedTuple):
     obs_rmse: jax.Array   # RMSE on observed entries per iteration (iters,)
 
 
-def _rank_k_project(x, key, k: int, p: int, q: int):
-    """P_k(x) via the randomized range finder (fresh sketch per call)."""
+def _rank_k_project(x, key, k: int, p: int, q: int, precision):
+    """P_k(x) — the driver's range finder + tail with a fresh sketch
+    ('half' reorth: interior bases only need conditioning here)."""
     l = min(k + p, min(x.shape))
     omega = sketch_matrix(key, x.shape[1], l, x.dtype)
-    y = _mm(x, omega)
-    q_mat = orthonormal_basis(y, "robust")
-    for _ in range(q):
-        q_mat = orthonormal_basis(_mm(x, _mm(x.T, q_mat)), "robust")
-    b = _mm(q_mat.T, x)
-    u_t, s, v = small_svd(b, "eigh")
-    return _mm(q_mat, u_t[:, :k]), s[:k], v[:, :k]
+    return rsvd_with_omega(x, omega, q=q, k=k, method="eigh",
+                           precision=precision, reorth="half")
 
 
-@partial(jax.jit, static_argnames=("k", "p", "q", "iters"))
+@partial(jax.jit, static_argnames=("k", "p", "q", "iters", "precision"))
 def complete_lowrank(
     a_obs,
     mask,
@@ -64,6 +58,7 @@ def complete_lowrank(
     p: int = 10,
     q: int = 1,
     seed: int = 0,
+    precision: str = "highest",
 ) -> CompletionResult:
     """Rank-k completion of a partially observed matrix.
 
@@ -82,16 +77,18 @@ def complete_lowrank(
     key = jax.random.PRNGKey(seed)
 
     def step(i, carry):
-        x, rmse = carry
+        u, s, v, rmse = carry
+        x = _mm(u * s[None, :], v.T)
         resid = jnp.where(mask, a_masked - x, 0.0)
         rmse = rmse.at[i].set(
             jnp.sqrt(jnp.sum(resid * resid) / n_obs.astype(a_obs.dtype)))
         u, s, v = _rank_k_project(x + eta_v * resid,
-                                  jax.random.fold_in(key, i), k, p, q)
-        return _mm(u * s[None, :], v.T), rmse
+                                  jax.random.fold_in(key, i), k, p, q,
+                                  precision)
+        return u, s, v, rmse
 
-    x0 = jnp.zeros_like(a_obs)
-    rmse0 = jnp.zeros((iters,), a_obs.dtype)
-    x, rmse = jax.lax.fori_loop(0, iters, step, (x0, rmse0))
-    u, s, v = _rank_k_project(x, jax.random.fold_in(key, iters), k, p, q)
+    kk = min(k, m, n)
+    carry0 = (jnp.zeros((m, kk), a_obs.dtype), jnp.zeros((kk,), a_obs.dtype),
+              jnp.zeros((n, kk), a_obs.dtype), jnp.zeros((iters,), a_obs.dtype))
+    u, s, v, rmse = jax.lax.fori_loop(0, iters, step, carry0)
     return CompletionResult(u, s, v, rmse)

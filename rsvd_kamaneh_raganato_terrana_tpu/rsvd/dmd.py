@@ -47,7 +47,7 @@ def _dmd_device_part(x, y, k: int, p: int, q: int, seed: int):
     u, s, v = rsvd(x, k=k, p=p, q=q, seed=seed, method="eigh")
     yv_sinv = _mm(y, v) / s[None, :]             # n x k
     atilde = _mm(u.T, yv_sinv)                   # k x k
-    return u, s, v, yv_sinv, atilde
+    return s, yv_sinv, atilde
 
 
 def dmd(
@@ -62,7 +62,7 @@ def dmd(
     x_0 ... x_m, uniform spacing dt).  Rank-k via the rSVD driver."""
     snapshots = jnp.asarray(snapshots)
     x, y = snapshots[:, :-1], snapshots[:, 1:]
-    u, s, v, yv_sinv, atilde = _dmd_device_part(x, y, k, p, q, seed)
+    s, yv_sinv, atilde = _dmd_device_part(x, y, k, p, q, seed)
 
     lam, w = np.linalg.eig(np.asarray(atilde, dtype=np.float64))
     # exact DMD modes (Tu et al. Thm 1): Phi = Y V S^{-1} W

@@ -27,9 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from rsvd_kamaneh_raganato_terrana_tpu.core.rng import sketch_matrix
-from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import orthonormal_basis
-from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import svd as small_svd
-from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _mm
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _mm, rsvd_with_omega
 
 
 class RpcaResult(NamedTuple):
@@ -39,22 +37,19 @@ class RpcaResult(NamedTuple):
     resid: jax.Array      # ||M - L - S||_F / ||M||_F per iteration
 
 
-def _svt(x, tau, key, k_max: int, p: int, q: int):
+def _svt(x, tau, key, k_max: int, p: int, q: int, precision):
     """Randomized singular-value soft-thresholding D_tau(x), truncated to
-    rank k_max."""
+    rank k_max — the driver's range finder + tail ('half' reorth) with a
+    soft-thresholded spectrum."""
     l = min(k_max + p, min(x.shape))
     omega = sketch_matrix(key, x.shape[1], l, x.dtype)
-    q_mat = orthonormal_basis(_mm(x, omega), "robust")
-    for _ in range(q):
-        q_mat = orthonormal_basis(_mm(x, _mm(x.T, q_mat)), "robust")
-    b = _mm(q_mat.T, x)
-    u_t, s, v = small_svd(b, "eigh")
-    s_sh = jnp.maximum(s[:k_max] - tau, 0.0)
-    u = _mm(q_mat, u_t[:, :k_max])
-    return _mm(u * s_sh[None, :], v[:, :k_max].T), s_sh
+    u, s, v = rsvd_with_omega(x, omega, q=q, k=k_max, method="eigh",
+                              precision=precision, reorth="half")
+    s_sh = jnp.maximum(s - tau, 0.0)
+    return _mm(u * s_sh[None, :], v.T), s_sh
 
 
-@partial(jax.jit, static_argnames=("k_max", "iters", "p", "q"))
+@partial(jax.jit, static_argnames=("k_max", "iters", "p", "q", "precision"))
 def rpca(
     m_mat,
     k_max: int = 32,
@@ -65,6 +60,7 @@ def rpca(
     p: int = 10,
     q: int = 1,
     seed: int = 0,
+    precision: str = "highest",
 ) -> RpcaResult:
     """Principal component pursuit: M ~ L (rank <= k_max) + S (sparse).
 
@@ -92,7 +88,8 @@ def rpca(
     def step(i, carry):
         low, sp, y, mu_i, resid = carry
         l_new, s_vals = _svt(m_mat - sp + y / mu_i, 1.0 / mu_i,
-                             jax.random.fold_in(key, i), k_max, p, q)
+                             jax.random.fold_in(key, i), k_max, p, q,
+                             precision)
         g = m_mat - l_new + y / mu_i
         s_new = jnp.sign(g) * jnp.maximum(jnp.abs(g) - lam_v / mu_i, 0.0)
         r = m_mat - l_new - s_new
@@ -107,6 +104,7 @@ def rpca(
     low, sp, _, _, resid = jax.lax.fori_loop(
         0, iters, step, (z, z, y0, mu0.astype(m_mat.dtype), resid0))
     # numerical rank of the recovered L
-    _, s_fin = _svt(low, 0.0, jax.random.fold_in(key, iters), k_max, p, q)
+    _, s_fin = _svt(low, 0.0, jax.random.fold_in(key, iters), k_max, p, q,
+                    precision)
     tol = jnp.maximum(s_fin[0], 1e-30) * 1e-6
     return RpcaResult(low, sp, jnp.sum(s_fin > tol), resid)

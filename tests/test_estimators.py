@@ -91,6 +91,9 @@ class TestRandomizedPCA:
         np.testing.assert_allclose(ours.explained_variance_ratio_,
                                    ref.explained_variance_ratio_, atol=1e-6)
         np.testing.assert_allclose(ours.mean_, ref.mean_, atol=1e-10)
+        np.testing.assert_allclose(ours.noise_variance_,
+                                   ref.noise_variance_, rtol=1e-5,
+                                   atol=1e-12)
         dots = np.abs(np.sum(ours.components_ * ref.components_, axis=1))
         np.testing.assert_allclose(dots, 1.0, atol=1e-6)
 
