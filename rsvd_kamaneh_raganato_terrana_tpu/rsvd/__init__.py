@@ -50,6 +50,13 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.dmd import (  # noqa: F401
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.fd import (  # noqa: F401
     FrequentDirections,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.hodlr import (  # noqa: F401
+    HodlrMatrix,
+    hodlr_build,
+    hodlr_compression_ratio,
+    hodlr_matvec,
+    hodlr_reconstruct,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.interp import (  # noqa: F401
     column_id,
     cur,
