@@ -56,6 +56,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.hodlr import (  # noqa: F401
     hodlr_compression_ratio,
     hodlr_matvec,
     hodlr_reconstruct,
+    hodlr_solve,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.interp import (  # noqa: F401
     column_id,

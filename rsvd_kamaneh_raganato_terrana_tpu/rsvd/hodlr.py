@@ -161,3 +161,29 @@ def hodlr_compression_ratio(h: HodlrMatrix) -> float:
     for fu in h.u_upper:
         stored += 4 * int(fu.size)        # u/v upper + u/v lower, same size
     return (h.n * h.n) / stored
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def hodlr_solve(h: HodlrMatrix, b, tol: float = 1e-8,
+                maxiter: int = 200) -> jax.Array:
+    """Solve H x = b for SPD H (kernel + ridge matrices, the HODLR use
+    case) by conjugate gradients on the O(kn log n) matvec, with the
+    dense leaf blocks as a block-Jacobi preconditioner — each CG
+    iteration costs one hierarchical matvec plus a batched triangular
+    solve, so the whole solve stays O(k n log n) per iteration instead
+    of the dense O(n^2)."""
+    b = jnp.asarray(b)
+    # leaf-block Cholesky factors (SPD diagonal blocks), batched once
+    chol = jax.vmap(jnp.linalg.cholesky)(h.leaves)
+    leaf = h.leaves.shape[1]
+
+    def precond(r):
+        rb = r.reshape(-1, leaf)
+        z = jax.vmap(lambda c, y: jax.scipy.linalg.cho_solve((c, True), y)
+                     )(chol, rb)
+        return z.reshape(-1)
+
+    x, _ = jax.scipy.sparse.linalg.cg(
+        lambda v: hodlr_matvec(h, v), b, tol=tol, maxiter=maxiter,
+        M=precond)
+    return x
