@@ -113,6 +113,27 @@ def main():
         scaled_variants((lowq,)))
     record("completion_k16_it15", f"{nq}x{nq}", per)
 
+    # HODLR: hierarchical build + matvec on a kernel-like matrix
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
+        hodlr_build,
+        hodlr_matvec,
+    )
+
+    xs = np.linspace(0, 1, n, dtype="float32")
+    kern = jnp.asarray(
+        np.exp(-((xs[:, None] - xs[None, :]) ** 2) / (2 * 0.1 * 0.1))
+        + 0.1 * np.eye(n, dtype="float32"))
+    per = chain_delta(lambda x: hodlr_build(x, levels=4, k=16).leaves,
+                      scaled_variants((kern,)))
+    record("hodlr_build_L4_k16", f"{n}x{n}", per)
+    h = hodlr_build(kern, levels=4, k=16)
+    vecs = [(jnp.asarray(rng.standard_normal(n).astype("float32")),),
+            (jnp.asarray(rng.standard_normal(n).astype("float32")),)]
+    per = chain_delta(lambda x: hodlr_matvec(h, x), vecs)
+    record("hodlr_matvec_L4_k16", f"{n}x{n}", per)
+    per = chain_delta(lambda x: kern @ x, vecs)
+    record("dense_matvec", f"{n}x{n}", per)
+
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w", newline="") as f:
         wtr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

@@ -19,7 +19,9 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.cp import (  # noqa: F401
 )
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.completion import (  # noqa: F401
     CompletionResult,
+    TuckerCompletionResult,
     complete_lowrank,
+    complete_tucker,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.rpca import (  # noqa: F401
     RpcaResult,

@@ -23,7 +23,7 @@ embeddings instead).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,3 +92,58 @@ def complete_lowrank(
               jnp.zeros((n, kk), a_obs.dtype), jnp.zeros((iters,), a_obs.dtype))
     u, s, v, rmse = jax.lax.fori_loop(0, iters, step, carry0)
     return CompletionResult(u, s, v, rmse)
+
+
+class TuckerCompletionResult(NamedTuple):
+    core: jax.Array
+    factors: Tuple[jax.Array, ...]
+    obs_rmse: jax.Array
+
+
+@partial(jax.jit, static_argnames=("ranks", "iters", "p", "q", "precision"))
+def complete_tucker(
+    a_obs,
+    mask,
+    ranks: Tuple[int, ...],
+    iters: int = 30,
+    eta: float | None = None,
+    p: int = 10,
+    q: int = 1,
+    seed: int = 0,
+    precision: str = "highest",
+) -> TuckerCompletionResult:
+    """Low-multilinear-rank TENSOR completion: the same SVP projected
+    gradient with the randomized Tucker (ST-HOSVD) as the projection
+    P_ranks — one fori_loop program, fresh per-iteration sketches.
+    Returns (core, factors, observed-RMSE trace)."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tucker import (
+        tucker,
+        tucker_reconstruct,
+    )
+
+    a_obs = jnp.asarray(a_obs)
+    mask = jnp.asarray(mask, bool)
+    ranks = tuple(ranks)
+    n_obs = jnp.maximum(jnp.sum(mask), 1).astype(a_obs.dtype)
+    frac = n_obs / a_obs.size
+    eta_v = (1.0 / frac) if eta is None else jnp.asarray(eta, a_obs.dtype)
+    a_masked = jnp.where(mask, a_obs, 0.0)
+
+    # iteration 0 outside the loop fixes the (shape-static) factor pytree
+    core, factors = tucker(eta_v * a_masked, ranks, p=p, q=q, seed=seed,
+                           precision=precision)
+    rmse0 = jnp.zeros((iters,), a_obs.dtype)
+    rmse0 = rmse0.at[0].set(jnp.sqrt(jnp.sum(a_masked * a_masked) / n_obs))
+
+    def step(i, carry):
+        core, factors, rmse = carry
+        x = tucker_reconstruct(core, factors)
+        resid = jnp.where(mask, a_masked - x, 0.0)
+        rmse = rmse.at[i].set(jnp.sqrt(jnp.sum(resid * resid) / n_obs))
+        core, factors = tucker(x + eta_v * resid, ranks, p=p, q=q,
+                               seed=seed + 1 + i, precision=precision)
+        return core, factors, rmse
+
+    core, factors, rmse = jax.lax.fori_loop(
+        1, iters, step, (core, factors, rmse0))
+    return TuckerCompletionResult(core, factors, rmse)

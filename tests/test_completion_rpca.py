@@ -54,6 +54,53 @@ class TestCompletion:
         assert res.v.shape == (30, 2)
 
 
+class TestTuckerCompletion:
+    def _low_multilinear(self, shape=(30, 40, 50), ranks=(3, 4, 5), seed=0):
+        rng = np.random.default_rng(seed)
+        core = rng.standard_normal(ranks)
+        t = core
+        for mode, (n, r) in enumerate(zip(shape, ranks)):
+            u, _ = np.linalg.qr(rng.standard_normal((n, r)))
+            t = np.moveaxis(np.tensordot(u, np.moveaxis(t, mode, 0),
+                                         axes=((1,), (0,))), 0, mode)
+        return t
+
+    def test_recovers_tensor_from_partial_entries(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.completion import (
+            complete_tucker,
+        )
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tucker import (
+            tucker_reconstruct,
+        )
+
+        t = self._low_multilinear()
+        rng = np.random.default_rng(1)
+        mask = rng.random(t.shape) < 0.4
+        res = complete_tucker(jnp.asarray(t), jnp.asarray(mask),
+                              ranks=(3, 4, 5), iters=40)
+        x = np.asarray(tucker_reconstruct(res.core, res.factors))
+        assert np.linalg.norm(x - t) < 1e-3 * np.linalg.norm(t)
+        rmse = np.asarray(res.obs_rmse)
+        assert rmse[-1] < 1e-3 * rmse[0]
+
+    def test_unobserved_never_read(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.completion import (
+            complete_tucker,
+        )
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tucker import (
+            tucker_reconstruct,
+        )
+
+        t = self._low_multilinear(seed=2)
+        rng = np.random.default_rng(3)
+        mask = rng.random(t.shape) < 0.5
+        poisoned = np.where(mask, t, 1e6)
+        res = complete_tucker(jnp.asarray(poisoned), jnp.asarray(mask),
+                              ranks=(3, 4, 5), iters=40)
+        x = np.asarray(tucker_reconstruct(res.core, res.factors))
+        assert np.linalg.norm(x - t) < 1e-3 * np.linalg.norm(t)
+
+
 class TestRpca:
     def _corrupted(self, m=80, n=70, k=4, frac=0.05, mag=10.0, seed=5):
         rng = np.random.default_rng(seed)
