@@ -200,3 +200,39 @@ class SVD:
     def _ensure(self):
         if self._u is None:
             self.compute()
+
+
+# ---------------------------------------------------------------------------
+# SVD-derived utilities (beyond-parity).
+# ---------------------------------------------------------------------------
+
+
+def polar(a, side: str = "right", method: SVDMethod | str = SVDMethod.XLA):
+    """Polar decomposition A = U_p H (side='right', H SPD on the column
+    space) or A = H U_p (side='left').  On TPU the default engine is
+    XLA's QDWH SVD, which *is* a polar iteration internally — this
+    recombines its factors: U_p = U V^T, H = V diag(s) V^T."""
+    a = jnp.asarray(a)
+    u, s, v = svd(a, method)
+    u_p = jnp.matmul(u, v.T, precision=jax.lax.Precision.HIGHEST)
+    if side == "right":
+        h = jnp.matmul(v * s[None, :], v.T,
+                       precision=jax.lax.Precision.HIGHEST)
+    elif side == "left":
+        h = jnp.matmul(u * s[None, :], u.T,
+                       precision=jax.lax.Precision.HIGHEST)
+    else:
+        raise ValueError(f"side must be 'right' or 'left', got {side!r}")
+    return u_p, h
+
+
+def procrustes(a, b, method: SVDMethod | str = SVDMethod.XLA):
+    """Orthogonal Procrustes: the rotation Q = argmin_{Q^T Q = I}
+    ||A Q - B||_F, via the SVD of A^T B — the embedding/factor alignment
+    primitive (e.g. aligning U factors across rSVD runs, whose columns
+    are sign/rotation-indeterminate in degenerate subspaces)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    m = jnp.matmul(a.T, b, precision=jax.lax.Precision.HIGHEST)
+    u, _, v = svd(m, method)
+    return jnp.matmul(u, v.T, precision=jax.lax.Precision.HIGHEST)

@@ -40,3 +40,60 @@ def test_givens_rotation(rng):
 def test_givens_zero():
     c, s, r = (float(v) for v in givens_rotation(0.0, 0.0))
     assert c == 1.0 and s == 0.0 and r == 0.0
+
+
+class TestPolarProcrustes:
+    def test_polar_right(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import polar
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((40, 30))
+        u_p, h = polar(jnp.asarray(a))
+        u_p, h = np.asarray(u_p), np.asarray(h)
+        np.testing.assert_allclose(u_p @ h, a, atol=1e-10)
+        np.testing.assert_allclose(u_p.T @ u_p, np.eye(30), atol=1e-10)
+        np.testing.assert_allclose(h, h.T, atol=1e-10)
+        assert np.min(np.linalg.eigvalsh(h)) > -1e-10
+
+    def test_polar_left(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import polar
+
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((30, 30))
+        u_p, h = polar(jnp.asarray(a), side="left")
+        np.testing.assert_allclose(np.asarray(h) @ np.asarray(u_p), a,
+                                   atol=1e-10)
+
+    def test_procrustes_recovers_rotation(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import procrustes
+
+        rng = np.random.default_rng(2)
+        a = rng.standard_normal((50, 8))
+        q_true, _ = np.linalg.qr(rng.standard_normal((8, 8)))
+        b = a @ q_true
+        q = np.asarray(procrustes(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(q, q_true, atol=1e-10)
+
+    def test_procrustes_aligns_rsvd_factors(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import procrustes
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd
+
+        rng = np.random.default_rng(3)
+        a = rng.standard_normal((80, 10)) @ rng.standard_normal((10, 60))
+        u1, s1, _ = rsvd(jnp.asarray(a), k=10, seed=0, method="eigh")
+        u2, _, _ = rsvd(jnp.asarray(a), k=10, seed=99, method="eigh")
+        q = procrustes(u2, u1)
+        err = np.linalg.norm(np.asarray(u2 @ q) - np.asarray(u1))
+        assert err < 1e-6
