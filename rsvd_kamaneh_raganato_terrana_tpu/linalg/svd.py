@@ -112,6 +112,11 @@ def svd(
     """
     method = SVDMethod.parse(method)
     a = jnp.asarray(a)
+    if jnp.iscomplexobj(a) and method is not SVDMethod.XLA:
+        raise TypeError("the Jacobi/Power/Gram engines are real-only "
+                        "(plain transposes throughout, like the "
+                        "reference's Eigen::MatrixXd stack); use "
+                        "method='xla' for complex input")
     if method is SVDMethod.Auto:
         method = (SVDMethod.ParallelJacobi if min(a.shape) <= 256
                   else SVDMethod.XLA)
@@ -120,7 +125,10 @@ def svd(
         # dropping them keeps svd(a, 'auto', tol=...) working at every
         # input size instead of crashing past the dispatch threshold
         u, s, vt = jnp.linalg.svd(a, full_matrices=False)
-        v = vt.T
+        # numpy contract: a = u @ diag(s) @ vt with vt = V^H; our V has
+        # the right singular vectors as columns (conj is a no-op for the
+        # real dtypes the rest of the stack is restricted to)
+        v = jnp.conj(vt).T
     elif method is SVDMethod.Jacobi:
         u, s, v = jacobi_svd(a, apply="scatter", **kwargs)
     elif method is SVDMethod.ParallelJacobi:

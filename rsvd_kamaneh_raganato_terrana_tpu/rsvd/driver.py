@@ -193,6 +193,15 @@ def rsvd(
     method = SVDMethod.parse(method)
     if not isinstance(a, jsparse.JAXSparse):
         a = jnp.asarray(a)
+    if jnp.iscomplexobj(a):
+        # The pipeline is real-only by design, like the reference
+        # (all Eigen::MatrixXd): every Gram/projection uses .T, not a
+        # conjugate transpose, so complex input would run and silently
+        # return a WRONG factorization — refuse instead.
+        raise TypeError("rsvd supports real dtypes only (the Gram/"
+                        "projection chain uses plain transposes); "
+                        "factor real and imaginary parts separately or "
+                        "use jnp.linalg.svd for complex input")
     return _rsvd_impl(
         a, k=k, p=p, q=q, method=method.value, sketch=sketch,
         qr_method=qr_method, seed=seed, precision=precision,
