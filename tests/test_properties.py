@@ -154,3 +154,81 @@ def test_incremental_append_equals_batch(seed, n1, n2):
     s_np = np.linalg.svd(np.concatenate([a, c], axis=1), compute_uv=False)
     np.testing.assert_allclose(np.asarray(s2), s_np, rtol=1e-6,
                                atol=1e-8 * max(s_np[0], 1.0))
+
+
+@given(seed=st.integers(0, 2**16), m=st.sampled_from([40, 90]),
+       k=st.integers(2, 8))
+@settings(**COMMON)
+def test_deim_interpolation_projector_property(seed, m, k):
+    """DEIM invariants for any orthonormal basis: exactness on span(U),
+    idempotence of the oblique projector P = proj @ P^T, distinct rows."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.deim import (
+        deim_indices,
+        deim_projector,
+    )
+
+    rng = np.random.default_rng(seed)
+    u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+    u = jnp.asarray(u)
+    idx = deim_indices(u)
+    assert len(np.unique(np.asarray(idx))) == k
+    proj = np.asarray(deim_projector(u, idx))
+    # oblique projector: applying select-then-interpolate twice == once
+    p_mat = np.zeros((m, m))
+    p_mat[:, np.asarray(idx)] = proj
+    np.testing.assert_allclose(p_mat @ p_mat, p_mat, atol=1e-8)
+    f = np.asarray(u) @ rng.standard_normal(k)
+    np.testing.assert_allclose(proj @ f[np.asarray(idx)], f, atol=1e-8)
+
+
+@given(seed=st.integers(0, 2**16), m=st.sampled_from([30, 64]),
+       n=st.sampled_from([24, 50]), k=st.integers(2, 6))
+@settings(**COMMON)
+def test_rutv_factor_contract(seed, m, n, k):
+    """UTV invariants on random input: orthonormal U/V, triangular
+    positive-diagonal T, and ||A - UTV^T|| <= rsvd-grade error."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.utv import (
+        rutv,
+        rutv_reconstruct,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = jnp.asarray(rng.standard_normal((m, n)))
+    u, t, v = rutv(a, k=k, p=6, seed=seed)
+    l = np.asarray(t).shape[0]
+    np.testing.assert_allclose(np.asarray(u.T @ u), np.eye(l), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v.T @ v), np.eye(l), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(jnp.tril(t, -1)), 0.0, atol=1e-8)
+    assert np.all(np.asarray(jnp.diag(t)) >= 0)
+    # full-l product error is bounded by the optimal rank-l error times
+    # a modest oversampling-dependent factor
+    err = np.linalg.norm(np.asarray(a) - np.asarray(rutv_reconstruct(u, t, v)))
+    s_np = np.linalg.svd(np.asarray(a), compute_uv=False)
+    opt = np.sqrt(np.sum(s_np[l:] ** 2))
+    assert err < 10.0 * opt + 1e-9
+
+
+@given(seed=st.integers(0, 2**16), frac=st.sampled_from([0.5, 0.7, 0.9]))
+@settings(**COMMON)
+def test_completion_recovery_property(seed, frac):
+    """SVP completes any rank-3 matrix from enough random entries,
+    regardless of spectrum scale.  Sampling fractions stay a comfortable
+    multiple of the rank-3 degrees of freedom — at ~3x the DoF count the
+    problem itself turns ill-posed and SVP is only guaranteed monotone
+    (the backtracking guard in complete_lowrank, added after a 40%-
+    sampling run of the un-guarded eta = 1/p step diverged to 1e10)."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.completion import (
+        complete_lowrank,
+    )
+
+    rng = np.random.default_rng(seed)
+    scale = 10.0 ** rng.integers(-2, 3)
+    a = scale * (rng.standard_normal((48, 40))[:, :3]
+                 @ rng.standard_normal((3, 40)))
+    mask = rng.random((48, 40)) < frac
+    res = complete_lowrank(jnp.asarray(a), jnp.asarray(mask), k=3, iters=50)
+    x = np.asarray(res.u) @ np.diag(np.asarray(res.s)) @ np.asarray(res.v).T
+    assert np.linalg.norm(x - a) < 1e-3 * np.linalg.norm(a)
+    # and the trace is monotone non-increasing (the guard's contract)
+    rmse = np.asarray(res.obs_rmse)
+    assert np.all(rmse[1:] <= rmse[:-1] + 1e-9 * rmse[0])
