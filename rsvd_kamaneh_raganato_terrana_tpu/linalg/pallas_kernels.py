@@ -151,7 +151,26 @@ def _quantize_kernel(x_ref, lo_ref, scale_ref, q_ref):
     q_ref[:] = jnp.clip(q, 0.0, 255.0).astype(jnp.uint8)
 
 
-def quantize_uint8(x, interpret: bool | None = None):
+def _quantize_sr_kernel(x_ref, lo_ref, scale_ref, seed_ref, q_ref):
+    """Stochastic-rounding variant: round up with probability equal to
+    the fractional part (in-kernel TPU PRNG, per-block seed) — the
+    quantizer becomes mean-unbiased, E[dequant(q)] = x, so quantization
+    error averages out of downstream reductions instead of biasing them."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    lo = lo_ref[0]
+    inv = 1.0 / scale_ref[0]
+    scaled = (x_ref[:] - lo) * inv
+    fl = jnp.floor(scaled)
+    frac = scaled - fl
+    bits = pltpu.prng_random_bits(scaled.shape)
+    u = bits.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    u = jnp.abs(u)          # bits may read back as int32 in interpret mode
+    q = fl + (u < frac).astype(jnp.float32)
+    q_ref[:] = jnp.clip(q, 0.0, 255.0).astype(jnp.uint8)
+
+
+def quantize_uint8(x, interpret: bool | None = None,
+                   stochastic: bool = False, seed: int = 0):
     """Device-side affine uint8 quantization (codec twin): returns
     (q, scale, offset).
 
@@ -174,6 +193,32 @@ def quantize_uint8(x, interpret: bool | None = None):
     rows = _round_up(max(1, -(-total // cols)), block_r)
     flat = jnp.pad(jnp.ravel(x), (0, rows * cols - total))
     tiled = flat.reshape(rows, cols)
+    if stochastic:
+        if interpret:
+            # pltpu.prng_* has no CPU interpreter lowering (this JAX
+            # version); same math with the host PRNG — the kernel path
+            # below runs on real TPU
+            scaled = (tiled - lo) / scale
+            fl = jnp.floor(scaled)
+            u = jax.random.uniform(jax.random.PRNGKey(seed), tiled.shape)
+            q = jnp.clip(fl + (u < scaled - fl), 0.0, 255.0
+                         ).astype(jnp.uint8)
+        else:
+            q = pl.pallas_call(
+                _quantize_sr_kernel,
+                grid=(rows // block_r,),
+                in_specs=[
+                    pl.BlockSpec((block_r, cols), lambda i: (i, 0)),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec((block_r, cols), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.uint8),
+                interpret=interpret,
+            )(tiled, lo[None], scale[None],
+              jnp.asarray([seed], jnp.int32))
+        return jnp.ravel(q)[:total].reshape(shape), scale, lo
     q = pl.pallas_call(
         _quantize_kernel,
         grid=(rows // block_r,),

@@ -129,3 +129,56 @@ def test_eigh_small_padding_and_rank_deficiency(rng):
     assert lam.min() > -1e-3
     lam_ref = np.linalg.eigvalsh(g.astype(np.float64))
     assert np.abs(np.sort(lam) - lam_ref).max() / lam_ref.max() < 1e-4
+
+
+class TestStochasticQuantizer:
+    def test_within_one_step_of_deterministic(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.pallas_kernels import (
+            quantize_uint8,
+        )
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((30, 20)).astype(np.float32))
+        qd, sc, lo = quantize_uint8(x)
+        qs, sc2, lo2 = quantize_uint8(x, stochastic=True, seed=1)
+        assert float(sc) == float(sc2) and float(lo) == float(lo2)
+        diff = np.abs(np.asarray(qs, np.int32) - np.asarray(qd, np.int32))
+        assert diff.max() <= 1
+
+    def test_mean_unbiased(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.pallas_kernels import (
+            quantize_uint8,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((20, 16)).astype(np.float32))
+        n = 200
+        acc = np.zeros(x.shape, np.float64)
+        for s in range(n):
+            q, sc, lo = quantize_uint8(x, stochastic=True, seed=s)
+            acc += np.asarray(q, np.float64) * float(sc) + float(lo)
+        bias = np.abs(acc / n - np.asarray(x))
+        # per-entry stderr = scale/2/sqrt(n); allow 6 sigma on the max
+        assert bias.max() < 6.0 * float(sc) / 2.0 / np.sqrt(n)
+
+    def test_grid_values_exact(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.pallas_kernels import (
+            quantize_uint8,
+        )
+
+        # values exactly on the quantization grid have frac = 0: the
+        # stochastic path must reproduce them deterministically
+        x = jnp.asarray(np.linspace(0, 255, 256, dtype=np.float32))
+        q, sc, lo = quantize_uint8(x, stochastic=True, seed=3)
+        np.testing.assert_allclose(
+            np.asarray(q, np.float64) * float(sc) + float(lo),
+            np.asarray(x), atol=1e-5)
