@@ -148,7 +148,8 @@ def _quantize_kernel(x_ref, lo_ref, scale_ref, q_ref):
     lo = lo_ref[0]
     inv = 1.0 / scale_ref[0]
     q = jnp.round((x_ref[:] - lo) * inv)
-    q_ref[:] = jnp.clip(q, 0.0, 255.0).astype(jnp.uint8)
+    # Mosaic has no direct f32 -> uint8 cast; hop through int32
+    q_ref[:] = jnp.clip(q, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _quantize_sr_kernel(x_ref, lo_ref, scale_ref, seed_ref, q_ref):
@@ -162,11 +163,13 @@ def _quantize_sr_kernel(x_ref, lo_ref, scale_ref, seed_ref, q_ref):
     scaled = (x_ref[:] - lo) * inv
     fl = jnp.floor(scaled)
     frac = scaled - fl
-    bits = pltpu.prng_random_bits(scaled.shape)
-    u = bits.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
-    u = jnp.abs(u)          # bits may read back as int32 in interpret mode
+    bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
+    # top 24 bits -> [0, 1); route through int32 (no direct u32->f32 in
+    # Mosaic, see _bits_to_unit_floats)
+    u = (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
+        jnp.float32(1.0 / (1 << 24)))
     q = fl + (u < frac).astype(jnp.float32)
-    q_ref[:] = jnp.clip(q, 0.0, 255.0).astype(jnp.uint8)
+    q_ref[:] = jnp.clip(q, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
 def quantize_uint8(x, interpret: bool | None = None,
