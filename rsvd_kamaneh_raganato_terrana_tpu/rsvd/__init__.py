@@ -17,6 +17,10 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.cp import (  # noqa: F401
     cp_reconstruct,
     khatri_rao,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.cca import (  # noqa: F401
+    CcaResult,
+    cca,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.completion import (  # noqa: F401
     CompletionResult,
     TuckerCompletionResult,
