@@ -1,0 +1,158 @@
+"""Spectral clustering on the randomized eigensolver.
+
+Beyond-parity application (sklearn's SpectralClustering workload): the
+spectral embedding is the top-k eigenspace of the normalized affinity
+D^{-1/2} W D^{-1/2} — computed with this framework's randomized
+symmetric eigensolver (`rsvd/nystrom.py::reigh`, one range-finder pass:
+GEMMs + a replicated small eigh) instead of ARPACK — followed by
+row normalization (Ng-Jordan-Weiss 2002) and a jitted Lloyd's k-means
+(static iteration count, greedy farthest-point init, one XLA program).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
+
+
+class ClusterResult(NamedTuple):
+    labels: jax.Array      # int32[n]
+    embedding: jax.Array   # n x k row-normalized spectral coordinates
+    centers: jax.Array     # k x k k-means centers in embedding space
+    inertia: jax.Array     # final within-cluster sum of squares
+
+
+def rbf_affinity(points, gamma: Optional[float] = None) -> jax.Array:
+    """W_ij = exp(-gamma ||x_i - x_j||^2), zero diagonal.  gamma defaults
+    to 1/(2 * median^2) of the pairwise distances (median heuristic)."""
+    points = jnp.asarray(points)
+    sq = jnp.sum(points * points, axis=1)
+    d2 = jnp.maximum(sq[:, None] + sq[None, :]
+                     - 2.0 * jnp.matmul(points, points.T,
+                                        precision=DOT_PRECISION), 0.0)
+    if gamma is None:
+        med = jnp.nanmedian(jnp.where(jnp.eye(d2.shape[0], dtype=bool),
+                                      jnp.nan, jnp.sqrt(d2)))
+        gamma_v = 1.0 / (2.0 * jnp.maximum(med, 1e-12) ** 2)
+    else:
+        gamma_v = jnp.asarray(gamma, d2.dtype)
+    w = jnp.exp(-gamma_v * d2)
+    return w * (1.0 - jnp.eye(w.shape[0], dtype=w.dtype))
+
+
+def knn_affinity(points, n_neighbors: int = 10) -> jax.Array:
+    """Symmetrized k-nearest-neighbor connectivity graph (0/1 weights,
+    W = max(W, W^T), zero diagonal) — the locality graph that separates
+    manifold-shaped clusters (two-moons) where any full RBF kernel
+    bridges the gap."""
+    points = jnp.asarray(points)
+    n = points.shape[0]
+    sq = jnp.sum(points * points, axis=1)
+    d2 = (sq[:, None] + sq[None, :]
+          - 2.0 * jnp.matmul(points, points.T, precision=DOT_PRECISION))
+    # exclude self (jnp.where, NOT eye * inf: 0 * inf = NaN off-diagonal)
+    d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
+    _, idx = jax.lax.top_k(-d2, min(n_neighbors, n - 1))
+    w = jnp.zeros((n, n), points.dtype)
+    w = w.at[jnp.arange(n)[:, None], idx].set(1.0)
+    return jnp.maximum(w, w.T)
+
+
+@partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans(z, k: int, iters: int, seed: int):
+    """Lloyd's iterations with greedy farthest-point initialization —
+    deterministic given (data, seed), one compiled program."""
+    n = z.shape[0]
+    key = jax.random.PRNGKey(seed)
+    first = jax.random.randint(key, (), 0, n)
+    centers0 = jnp.zeros((k, z.shape[1]), z.dtype).at[0].set(z[first])
+
+    def init_step(i, centers):
+        d2_all = jnp.sum((z[:, None, :] - centers[None, :, :]) ** 2,
+                         axis=-1)                      # (n, k)
+        chosen = jnp.arange(k)[None, :] <= i
+        dmin = jnp.min(jnp.where(chosen, d2_all, jnp.inf), axis=1)
+        return centers.at[i + 1].set(z[jnp.argmax(dmin)])
+
+    centers = jax.lax.fori_loop(0, k - 1, init_step, centers0)
+
+    def lloyd(_, carry):
+        centers, _ = carry
+        d2 = jnp.sum((z[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+        labels = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        one_hot = jax.nn.one_hot(labels, k, dtype=z.dtype)
+        counts = jnp.maximum(jnp.sum(one_hot, axis=0), 1.0)
+        new_centers = (one_hot.T @ z) / counts[:, None]
+        # keep empty clusters where they were
+        new_centers = jnp.where(
+            (jnp.sum(one_hot, axis=0) > 0)[:, None], new_centers, centers)
+        return new_centers, labels
+
+    centers, labels = jax.lax.fori_loop(
+        0, iters, lloyd, (centers, jnp.zeros((n,), jnp.int32)))
+    d2 = jnp.sum((z - centers[labels]) ** 2)
+    return labels.astype(jnp.int32), centers, d2
+
+
+def spectral_cluster(
+    points_or_affinity,
+    n_clusters: int,
+    affinity: str = "rbf",
+    gamma: Optional[float] = None,
+    n_neighbors: int = 10,
+    kmeans_iters: int = 50,
+    eig_solver: str = "auto",
+    seed: int = 0,
+) -> ClusterResult:
+    """Normalized spectral clustering (Ng-Jordan-Weiss).
+
+    ``affinity='rbf'`` treats the input as points (n x d) and builds the
+    median-heuristic RBF graph; ``'knn'`` builds the symmetrized
+    ``n_neighbors``-nearest-neighbor connectivity graph (use for
+    manifold-shaped clusters); ``'precomputed'`` takes a symmetric
+    non-negative affinity matrix directly.
+
+    ``eig_solver``: graph spectra are the randomized solver's worst
+    case — the cluster-indicator eigenvalues sit at 1 and the first
+    intra-cluster mixing eigenvalue can be 1 - O(1/n^2) away, far below
+    any power-iteration gap amplification — so 'auto' uses the exact
+    dense eigh up to n = 2048 (its one-off O(n^3) is tiny there) and the
+    randomized `reigh` above, where the graph usually has more smoothing;
+    force 'exact' when cluster shapes are elongated chains.
+    """
+    if affinity == "rbf":
+        w = rbf_affinity(points_or_affinity, gamma)
+    elif affinity == "knn":
+        w = knn_affinity(points_or_affinity, n_neighbors)
+    elif affinity == "precomputed":
+        w = jnp.asarray(points_or_affinity)
+    else:
+        raise ValueError(f"unknown affinity {affinity!r}")
+    d = jnp.maximum(jnp.sum(w, axis=1), 1e-12)
+    d_isqrt = 1.0 / jnp.sqrt(d)
+    m = w * d_isqrt[:, None] * d_isqrt[None, :]
+    n = m.shape[0]
+    mode = eig_solver
+    if mode == "auto":
+        mode = "exact" if n <= 2048 else "randomized"
+    if mode == "exact":
+        lam_all, u_all = jnp.linalg.eigh(m)        # ascending
+        lam = lam_all[-n_clusters:][::-1]
+        u = u_all[:, -n_clusters:][:, ::-1]
+    elif mode == "randomized":
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import reigh
+
+        lam, u = reigh(m, k=n_clusters, q=4, seed=seed)
+        order = jnp.argsort(-lam)
+        lam = jnp.take(lam, order)
+        u = jnp.take(u, order, axis=1)
+    else:
+        raise ValueError(f"unknown eig_solver {eig_solver!r}")
+    z = u / jnp.maximum(jnp.linalg.norm(u, axis=1, keepdims=True), 1e-12)
+    labels, centers, inertia = _kmeans(z, n_clusters, kmeans_iters, seed)
+    return ClusterResult(labels, z, centers, inertia)
