@@ -147,7 +147,13 @@ def spectral_cluster(
     elif mode == "randomized":
         from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import reigh
 
-        lam, u = reigh(m, k=n_clusters, q=4, seed=seed)
+        # reigh selects by |lambda|: near-bipartite graphs put modes at
+        # lambda ~ -1 that would displace the +1 indicator eigenvectors.
+        # Shift to I + M (spectrum [0, 2]: magnitude order == algebraic
+        # order), then shift the eigenvalues back.
+        lam, u = reigh(m + jnp.eye(n, dtype=m.dtype), k=n_clusters, q=4,
+                       seed=seed)
+        lam = lam - 1.0
         order = jnp.argsort(-lam)
         lam = jnp.take(lam, order)
         u = jnp.take(u, order, axis=1)

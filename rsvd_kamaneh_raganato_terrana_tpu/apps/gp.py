@@ -38,8 +38,20 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.hodlr import (
 
 def rbf_kernel(x1, x2, lengthscale: float = 0.2, variance: float = 1.0):
     """k(x, x') = variance * exp(-||x - x'||^2 / (2 l^2)); x1 (n, d),
-    x2 (m, d) -> (n, m)."""
-    d2 = jnp.sum((x1[:, None, :] - x2[None, :, :]) ** 2, axis=-1)
+    x2 (m, d) -> (n, m).  Sq-norms + one GEMM (MXU) rather than the
+    (n, m, d) broadcast difference — at the large n this module targets
+    the broadcast intermediate alone would dwarf the kernel matrix."""
+    from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import (
+        DOT_PRECISION,
+    )
+
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    s1 = jnp.sum(x1 * x1, axis=1)
+    s2 = jnp.sum(x2 * x2, axis=1)
+    d2 = jnp.maximum(
+        s1[:, None] + s2[None, :]
+        - 2.0 * jnp.matmul(x1, x2.T, precision=DOT_PRECISION), 0.0)
     return variance * jnp.exp(-0.5 * d2 / (lengthscale * lengthscale))
 
 
@@ -79,6 +91,12 @@ class GP:
         self.x_train_ = x
         self.y_train_ = y
         kmat = self.kernel(x, x) + self.noise ** 2 * jnp.eye(n, dtype=x.dtype)
+        # clear any previous fit's solver state: predict() dispatches on
+        # which attribute exists, so a stale factor from an earlier fit
+        # with the other solver must not survive a refit
+        for attr in ("_cho", "_hodlr"):
+            if hasattr(self, attr):
+                delattr(self, attr)
         mode = self._resolve_solver(n)
         if mode == "hodlr":
             levels = self.levels

@@ -290,15 +290,16 @@ def _eigh_kernel(g_ref, pi_ref, lam_ref, v_ref, gw, vw, *,
 
 
 def eigh_small(g, sweeps: int = 8, interpret: bool | None = None):
-    """Eigendecomposition of a small symmetric (PSD-oriented) matrix in
+    """Eigendecomposition of a small symmetric matrix (indefinite OK) in
     ONE Pallas kernel launch: returns (eigenvalues ascending, V) like
     ``jnp.linalg.eigh``.
 
     Accuracy ~f32 eps relative to the dominant eigenvalue (two-sided
     cyclic Jacobi, `sweeps` full tournaments).  Intended for the l x l
     Gram tails of the rSVD pipeline (l <= ~512); larger inputs should use
-    ``jnp.linalg.eigh``.  Padding uses a -1 diagonal so pad eigenpairs
-    sort strictly below genuine PSD eigenvalues.
+    ``jnp.linalg.eigh``.  Pad eigenvalues are placed at -(||G||_F + 1),
+    strictly below every genuine eigenvalue (|lambda_min| <= ||G||_F), so
+    the ascending sort can never confuse pad and real eigenpairs.
     """
     if interpret is None:
         interpret = not _is_tpu()

@@ -76,40 +76,42 @@ def complete_lowrank(
     a_masked = jnp.where(mask, a_obs, 0.0)
     key = jax.random.PRNGKey(seed)
 
-    def obs_rmse_of(u, s, v):
-        x = _mm(u * s[None, :], v.T)
+    def obs_rmse_at(x):
         resid = jnp.where(mask, a_masked - x, 0.0)
-        return jnp.sqrt(jnp.sum(resid * resid) / n_obs), x, resid
+        return jnp.sqrt(jnp.sum(resid * resid) / n_obs), resid
 
     # Backtracking safeguard: the textbook eta = 1/p step diverges when
     # the sampled entries barely cover the rank-k degrees of freedom
     # (found by the property test at 40% sampling of a 48x40 rank-3
     # problem).  Each step is accepted only if it does not increase the
-    # observed RMSE; a rejected step halves eta and keeps the iterate —
-    # monotone by construction, same cost structure (the candidate's
-    # reconstruction doubles as the next iterate's).
+    # observed RMSE; a rejected step halves eta and keeps the iterate.
+    # The iterate's reconstruction X rides the carry, so each iteration
+    # pays exactly ONE factor-form reconstruction GEMM (the candidate's).
     def step(i, carry):
-        u, s, v, eta_i, rmse = carry
-        r_cur, x, resid = obs_rmse_of(u, s, v)
+        u, s, v, x, eta_i, rmse = carry
+        r_cur, resid = obs_rmse_at(x)
         rmse = rmse.at[i].set(r_cur)
         cu, cs, cv = _rank_k_project(x + eta_i * resid,
                                      jax.random.fold_in(key, i), k, p, q,
                                      precision)
-        r_new, _, _ = obs_rmse_of(cu, cs, cv)
+        cx = _mm(cu * cs[None, :], cv.T)
+        r_new, _ = obs_rmse_at(cx)
         ok = r_new <= r_cur
         u = jnp.where(ok, cu, u)
         s = jnp.where(ok, cs, s)
         v = jnp.where(ok, cv, v)
+        x = jnp.where(ok, cx, x)
         # halve on rejection, creep back toward the nominal step on
         # acceptance (plain halving left hard instances crawling)
         eta_i = jnp.where(ok, jnp.minimum(1.2 * eta_i, eta0), 0.5 * eta_i)
-        return u, s, v, eta_i, rmse
+        return u, s, v, x, eta_i, rmse
 
     kk = min(k, m, n)
     carry0 = (jnp.zeros((m, kk), a_obs.dtype), jnp.zeros((kk,), a_obs.dtype),
-              jnp.zeros((n, kk), a_obs.dtype), eta0 * jnp.ones((), a_obs.dtype),
+              jnp.zeros((n, kk), a_obs.dtype), jnp.zeros_like(a_obs),
+              eta0 * jnp.ones((), a_obs.dtype),
               jnp.zeros((iters,), a_obs.dtype))
-    u, s, v, _, rmse = jax.lax.fori_loop(0, iters, step, carry0)
+    u, s, v, _, _, rmse = jax.lax.fori_loop(0, iters, step, carry0)
     return CompletionResult(u, s, v, rmse)
 
 
@@ -154,15 +156,30 @@ def complete_tucker(
     rmse0 = jnp.zeros((iters,), a_obs.dtype)
     rmse0 = rmse0.at[0].set(jnp.sqrt(jnp.sum(a_masked * a_masked) / n_obs))
 
-    def step(i, carry):
-        core, factors, rmse = carry
-        x = tucker_reconstruct(core, factors)
+    def obs_rmse_at(x):
         resid = jnp.where(mask, a_masked - x, 0.0)
-        rmse = rmse.at[i].set(jnp.sqrt(jnp.sum(resid * resid) / n_obs))
-        core, factors = tucker(x + eta_v * resid, ranks, p=p, q=q,
-                               seed=seed + 1 + i, precision=precision)
-        return core, factors, rmse
+        return jnp.sqrt(jnp.sum(resid * resid) / n_obs), resid
 
-    core, factors, rmse = jax.lax.fori_loop(
-        1, iters, step, (core, factors, rmse0))
+    # same backtracking safeguard as complete_lowrank (the fixed
+    # eta = 1/p schedule diverges near the DoF-coverage threshold)
+    def step(i, carry):
+        core, factors, x, eta_i, rmse = carry
+        r_cur, resid = obs_rmse_at(x)
+        rmse = rmse.at[i].set(r_cur)
+        c_core, c_factors = tucker(x + eta_i * resid, ranks, p=p, q=q,
+                                   seed=seed + 1 + i, precision=precision)
+        cx = tucker_reconstruct(c_core, c_factors)
+        r_new, _ = obs_rmse_at(cx)
+        ok = r_new <= r_cur
+        core = jnp.where(ok, c_core, core)
+        factors = tuple(jnp.where(ok, cf, f)
+                        for cf, f in zip(c_factors, factors))
+        x = jnp.where(ok, cx, x)
+        eta_i = jnp.where(ok, jnp.minimum(1.2 * eta_i, eta_v), 0.5 * eta_i)
+        return core, factors, x, eta_i, rmse
+
+    x0 = tucker_reconstruct(core, factors)
+    core, factors, _, _, rmse = jax.lax.fori_loop(
+        1, iters, step,
+        (core, factors, x0, eta_v * jnp.ones((), a_obs.dtype), rmse0))
     return TuckerCompletionResult(core, factors, rmse)
