@@ -129,6 +129,66 @@ def load_tensor_factors(path: str):
         return out
 
 
+def save_model(path: str, model, meta: Optional[Dict] = None) -> None:
+    """One-file (.npz) persistence for the fitted model objects — any
+    NamedTuple of arrays/ints (``rsvd.deim.Deim``,
+    ``rsvd.hodlr.HodlrMatrix``, ``rsvd.completion.CompletionResult``,
+    ...).  Nested tuples of arrays (HODLR's per-level factor stacks) are
+    flattened with their tree recorded in the metadata; round-trips
+    through :func:`load_model`, which rebuilds the exact NamedTuple
+    type."""
+    path = _npz_path(path)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    cls = type(model)
+    if not hasattr(model, "_fields"):
+        raise TypeError(f"save_model needs a NamedTuple, got {cls}")
+    arrays: Dict[str, np.ndarray] = {}
+    scalars: Dict[str, object] = {}
+    lengths: Dict[str, int] = {}
+    for name in model._fields:
+        val = getattr(model, name)
+        if isinstance(val, (tuple, list)):
+            lengths[name] = len(val)
+            for i, item in enumerate(val):
+                arrays[f"{name}__{i}"] = np.asarray(item)
+        elif isinstance(val, (int, float, bool, str)):
+            scalars[name] = val
+        else:
+            arrays[name] = np.asarray(val)
+    header = {
+        "class_module": cls.__module__,
+        "class_name": cls.__qualname__,
+        "fields": list(model._fields),
+        "tuple_lengths": lengths,
+        "scalars": scalars,
+        "meta": meta or {},
+    }
+    np.savez_compressed(path, __model__=json.dumps(header), **arrays)
+
+
+def load_model(path: str):
+    """Inverse of :func:`save_model`: returns ``(model, meta)`` with the
+    original NamedTuple type (imported from its recorded module)."""
+    import importlib
+
+    with np.load(_npz_path(path), allow_pickle=False) as z:
+        header = json.loads(str(z["__model__"]))
+        mod = importlib.import_module(header["class_module"])
+        cls = mod
+        for part in header["class_name"].split("."):
+            cls = getattr(cls, part)
+        values = []
+        for name in header["fields"]:
+            if name in header["tuple_lengths"]:
+                n = header["tuple_lengths"][name]
+                values.append(tuple(z[f"{name}__{i}"] for i in range(n)))
+            elif name in header["scalars"]:
+                values.append(header["scalars"][name])
+            else:
+                values.append(z[name])
+        return cls(*values), header["meta"]
+
+
 def export_matrix_market(out_dir: str, stem: str, U, S, V) -> None:
     """Reference-layout export: <stem>_U.mtx / _S.mtx / _V.mtx under out_dir
     (tests/rSVD_test.cpp:108-115 wrote data/output/rSVD/my/)."""

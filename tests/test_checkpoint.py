@@ -135,3 +135,68 @@ def test_tensor_factor_validation(tmp_path):
         save_tensor_factors(str(tmp_path / "x"), "magic", cores=[])
     with pytest.raises(ValueError):
         save_tensor_factors(str(tmp_path / "x"), "tt")
+
+
+class TestModelCheckpoint:
+    def test_deim_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rsvd_kamaneh_raganato_terrana_tpu.core.checkpoint import (
+            load_model,
+            save_model,
+        )
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.deim import (
+            Deim,
+            deim_fit,
+            deim_interpolate,
+        )
+
+        rng = np.random.default_rng(0)
+        snaps = jnp.asarray(rng.standard_normal((60, 12)))
+        d = deim_fit(snaps, m=5)
+        p = str(tmp_path / "deim")
+        save_model(p, d, meta={"m": 5})
+        d2, meta = load_model(p)
+        assert isinstance(d2, Deim) and meta == {"m": 5}
+        f = snaps[:, 0]
+        np.testing.assert_allclose(np.asarray(deim_interpolate(d2, f)),
+                                   np.asarray(deim_interpolate(d, f)),
+                                   atol=1e-12)
+
+    def test_hodlr_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rsvd_kamaneh_raganato_terrana_tpu.core.checkpoint import (
+            load_model,
+            save_model,
+        )
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.hodlr import (
+            HodlrMatrix,
+            hodlr_build,
+            hodlr_matvec,
+        )
+
+        x = np.linspace(0, 1, 128)
+        a = np.exp(-((x[:, None] - x[None, :]) ** 2) / 0.02) + 0.1 * np.eye(128)
+        h = hodlr_build(jnp.asarray(a), levels=2, k=8)
+        p = str(tmp_path / "hodlr.npz")
+        save_model(p, h)
+        h2, _ = load_model(p)
+        assert isinstance(h2, HodlrMatrix)
+        assert h2.n == 128 and h2.k == 8
+        v = np.random.default_rng(1).standard_normal(128)
+        np.testing.assert_allclose(
+            np.asarray(hodlr_matvec(h2, jnp.asarray(v))),
+            np.asarray(hodlr_matvec(h, jnp.asarray(v))), atol=1e-10)
+
+    def test_rejects_non_namedtuple(self, tmp_path):
+        import pytest
+
+        from rsvd_kamaneh_raganato_terrana_tpu.core.checkpoint import (
+            save_model,
+        )
+
+        with pytest.raises(TypeError):
+            save_model(str(tmp_path / "x"), {"not": "a namedtuple"})
