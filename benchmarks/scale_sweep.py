@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--reorth", default="full")
     ap.add_argument("--interior-qr", default=None)
     ap.add_argument("--append", action="store_true")
+    ap.add_argument("--on-device-operand", action="store_true",
+                    help="generate A with device-side RNG (no H2D; "
+                         "required for never-compiled multi-GiB shapes)")
     ap.add_argument("--out", default="bench_results/scale_sweep.csv")
     args = ap.parse_args()
 
@@ -45,7 +48,16 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
     for n in (int(s) for s in args.sizes.split(",")):
-        a = jnp.asarray(rng.standard_normal((n, n)).astype("float32"))
+        if args.on_device_operand:
+            # generate A on the accelerator: a multi-GiB H2D combined
+            # with a cold compile has killed the relay transport before
+            # (CLAUDE.md "Giant single dispatches") — device-side RNG
+            # removes the transfer entirely; the spectrum class (iid
+            # Gaussian) is identical
+            a = jax.block_until_ready(jax.random.normal(
+                jax.random.PRNGKey(0), (n, n), jnp.float32))
+        else:
+            a = jnp.asarray(rng.standard_normal((n, n)).astype("float32"))
         for k in (int(r) for r in args.ranks.split(",")):
             l = min(k + 16, n)
 

@@ -9,6 +9,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     rsvd_adaptive,
     rsvd_image_preset,
     rsvd_sharded,
+    rsvd_warm,
     rsvd_with_omega,
     subspace_iteration,
 )

@@ -427,3 +427,37 @@ def reconstruction_error(a, u, s, v):
     """||A - U diag(s) V^T||_F — the reference's pass criterion
     (tests/rSVD_test.cpp:77-84)."""
     return jnp.linalg.norm(jnp.asarray(a) - reconstruct(u, s, v))
+
+
+@partial(jax.jit, static_argnames=("k", "q", "method", "qr_method",
+                                   "precision", "reorth"))
+def rsvd_warm(
+    a,
+    q_prev,
+    k: int = 0,
+    q: int = 1,
+    method: str = "eigh",
+    qr_method: str = "robust",
+    precision: str = "highest",
+    reorth: str = "full",
+):
+    """rSVD warm-started from an existing range basis.
+
+    For a sweep/time-series of slowly varying matrices (POD parameter
+    sweeps, streaming covariance updates), the previous factorization's
+    Q already spans most of the new range: power-iterating IT instead of
+    a fresh Gaussian sketch reaches the same accuracy with fewer passes
+    over A (typically q=1 warm ~ q=2 cold; the contamination of the new
+    range is the subspace drift, not a random sketch's full-spectrum
+    leakage).  ``q_prev`` is any m x l orthonormal(ish) basis — e.g. U
+    from the previous step (pad columns if you want oversampling).
+    Returns (U, s, V) truncated to k (all l when k=0)."""
+    prec = _PRECISIONS.get(precision, precision)
+    q_mat = orthonormal_basis(jnp.asarray(q_prev), qr_method)
+    q_mat = power_refine(a, q_mat, q, qr_method, prec, reorth)
+    b = _mm(q_mat.T, a, prec)
+    u_t, s, v = small_svd(b, method)
+    u = _mm(q_mat, u_t)
+    if k > 0:
+        u, s, v = u[:, :k], s[:k], v[:, :k]
+    return u, s, v

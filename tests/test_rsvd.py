@@ -160,3 +160,44 @@ def test_rsvd_bfloat16_end_to_end(rng):
         @ np.asarray(v, np.float64).T
     rel = np.linalg.norm(rec - a64) / np.linalg.norm(a64)
     assert rel < 0.05  # bf16 has ~3 significant digits
+
+
+class TestWarmStart:
+    def test_warm_q1_matches_cold_q2_on_perturbed_input(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
+            reconstruction_error,
+            rsvd,
+        )
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd_warm
+
+        rng = np.random.default_rng(0)
+        u0, _ = np.linalg.qr(rng.standard_normal((300, 300)))
+        v0, _ = np.linalg.qr(rng.standard_normal((200, 200)))
+        s = np.geomspace(1, 1e-4, 200)
+        a = jnp.asarray(u0[:, :200] @ np.diag(s) @ v0.T)
+        u, s1, v = rsvd(a, k=16, p=8, q=2, method="eigh")
+        # the matrix drifts slightly (new parameter step)
+        a2 = a + 1e-3 * jnp.asarray(rng.standard_normal(a.shape))
+        warm = rsvd_warm(a2, u, k=16, q=1)
+        cold = rsvd(a2, k=16, p=8, q=2, method="eigh")
+        e_warm = float(reconstruction_error(a2, *warm))
+        e_cold = float(reconstruction_error(a2, *cold))
+        # one warm pass reaches (or beats) the fresh two-pass run
+        assert e_warm <= 1.02 * e_cold
+
+    def test_warm_exact_when_unchanged(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd_warm
+
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.standard_normal((80, 10))
+                        @ rng.standard_normal((10, 60)))
+        u, s, v = rsvd(a, k=10, p=6, q=2, method="eigh")
+        u2, s2, v2 = rsvd_warm(a, u, k=10, q=0)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s), rtol=1e-8)
