@@ -84,6 +84,8 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.lstsq import (  # noqa: F401
     sketch_minnorm,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (  # noqa: F401
+    nystrom_pcg,
+    nystrom_preconditioner,
     nystrom_psd,
     nystrom_reconstruct,
     reigh,

@@ -15,6 +15,11 @@ accurate:
 - ``reigh``: randomized truncated eigendecomposition of a symmetric
   (possibly indefinite) matrix via the rSVD range finder + Rayleigh-Ritz
   projection T = Q^T A Q (Halko-Martinsson-Tropp 2011, Alg. 5.3).
+- ``nystrom_pcg``: conjugate gradients on the regularized system
+  (A + mu I) x = b preconditioned by the Nystrom approximation
+  (Frangella, Tropp & Udell 2023, "Randomized Nystrom preconditioning",
+  Alg. 3) — the fast path for kernel ridge regression / GP posterior
+  solves where the spectrum decays but cond(A + mu I) is still large.
 
 Both are pure GEMM + replicated small-factorization pipelines: on a
 row-sharded A the stage-A products partition over the mesh exactly like
@@ -136,6 +141,89 @@ def reigh(
 def nystrom_reconstruct(u, lam):
     """A_k = U diag(lam) U^T."""
     return _mm(u * lam[None, :], u.T)
+
+
+def nystrom_preconditioner(u, lam, mu):
+    """Closure applying the FTU Nystrom preconditioner P^{-1}.
+
+    With A ~ U diag(lam) U^T (rank l) and regularizer mu > 0,
+
+        P = (lam_l + mu)^{-1} U (diag(lam) + mu I) U^T + (I - U U^T)
+
+    (Frangella-Tropp-Udell 2023, eq. 5.1), whose inverse applies in one
+    skinny GEMM pair per call:
+
+        P^{-1} r = U [ (lam_l + mu) / (lam + mu) - 1 ] (U^T r) + r.
+
+    P^{-1}(A + mu I) has condition ~ (lam_l + mu)/mu once the tail of
+    the spectrum is below lam_l, independent of cond(A).
+    """
+    lam_last = lam[-1]
+
+    def precond(r):
+        coeff = (lam_last + mu) / (lam + mu) - 1.0
+        return _mm(u, coeff[:, None] * _mm(u.T, r,
+                                           jax.lax.Precision.HIGHEST),
+                   jax.lax.Precision.HIGHEST) + r
+
+    return precond
+
+
+@partial(jax.jit, static_argnames=("rank", "iters", "precision"))
+def _nystrom_pcg_impl(a, b, mu, *, rank, iters, seed, precision):
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.lstsq import _pcg_scan
+
+    prec = _PRECISIONS.get(precision, precision)
+    # Keep the full sketch rank in the preconditioner (p=0): every
+    # computed eigenpair sharpens the preconditioner for free.
+    u, lam = _nystrom_impl(a, k=rank, p=0, seed=seed, precision=precision)
+    mu = jnp.asarray(mu, a.dtype)
+
+    def apply_op(x):
+        return _mm(a, x, prec) + mu * x
+
+    return _pcg_scan(apply_op, nystrom_preconditioner(u, lam, mu), b,
+                     iters)
+
+
+def nystrom_pcg(
+    a,
+    b,
+    mu: float,
+    rank: int = 50,
+    iters: int = 30,
+    seed: int = 0,
+    precision: str = "highest",
+) -> jax.Array:
+    """Solve the regularized PSD system ``(A + mu I) x = b`` by CG with
+    the randomized Nystrom preconditioner (Frangella, Tropp & Udell
+    2023, Alg. 3).
+
+    One single-pass Nystrom sketch of rank ``rank`` builds the
+    preconditioner; each of the fixed ``iters`` CG steps costs one GEMM
+    against A plus one skinny GEMM pair.  When A's spectrum decays so
+    that lam_rank <~ mu, the preconditioned operator is O(1)-conditioned
+    and ~20-30 iterations reach working precision regardless of
+    cond(A + mu I) — the regime of kernel ridge regression and GP
+    posterior solves (the matrices apps/gp.py assembles).
+
+    ``b`` may be ``(n,)`` or ``(n, nrhs)``.  Beyond-parity extension (the
+    reference has no iterative solver; its closest relative is the Eigen
+    CG call inside energy_POD, POD.cpp:296-304).
+    """
+    a = jnp.asarray(a)
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError(f"nystrom_pcg needs a square matrix, got {a.shape}")
+    if mu <= 0:
+        raise ValueError(f"mu must be > 0, got {mu}")
+    b = jnp.asarray(b, dtype=a.dtype)
+    rank = int(min(rank, a.shape[0]))
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    x = _nystrom_pcg_impl(a, b, mu, rank=rank, iters=iters, seed=seed,
+                          precision=precision)
+    return x[:, 0] if squeeze else x
 
 
 @partial(jax.jit, static_argnames=("k", "p", "q", "precision"))

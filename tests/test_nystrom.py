@@ -85,6 +85,88 @@ class TestNystromPSD:
                                    atol=1e-10)
 
 
+class TestNystromPCG:
+    """Randomized Nystrom preconditioned CG (FTU 2023)."""
+
+    def _kernel_system(self, n=160, mu=1e-4, seed=11):
+        # RBF-style kernel matrix: fast spectral decay, huge cond(A+mu I)
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((n, 2))
+        d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        a = np.exp(-d2 / 2.0)
+        b = rng.standard_normal(n)
+        return a, b, mu
+
+    def test_solves_to_working_precision(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (
+            nystrom_pcg,
+        )
+
+        a, b, mu = self._kernel_system()
+        x = np.asarray(nystrom_pcg(jnp.asarray(a), jnp.asarray(b), mu,
+                                   rank=60, iters=30))
+        ref = np.linalg.solve(a + mu * np.eye(a.shape[0]), b)
+        np.testing.assert_allclose(x, ref, rtol=1e-7, atol=1e-9)
+
+    def test_beats_unpreconditioned_cg(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.lstsq import _pcg_scan
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (
+            nystrom_pcg,
+        )
+
+        a, b, mu = self._kernel_system()
+        aj, bj = jnp.asarray(a), jnp.asarray(b)
+        iters = 15
+        x_pre = np.asarray(nystrom_pcg(aj, bj, mu, rank=60, iters=iters))
+        x_plain = np.asarray(_pcg_scan(
+            lambda p: aj @ p + mu * p, lambda r: r, bj[:, None],
+            iters))[:, 0]
+        sys = a + mu * np.eye(a.shape[0])
+        res_pre = np.linalg.norm(sys @ x_pre - b)
+        res_plain = np.linalg.norm(sys @ x_plain - b)
+        assert res_pre < 1e-3 * res_plain
+
+    def test_multiple_rhs(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (
+            nystrom_pcg,
+        )
+
+        a, _, mu = self._kernel_system(n=96)
+        rng = np.random.default_rng(12)
+        b = rng.standard_normal((96, 3))
+        x = np.asarray(nystrom_pcg(jnp.asarray(a), jnp.asarray(b), mu,
+                                   rank=50, iters=30))
+        ref = np.linalg.solve(a + mu * np.eye(96), b)
+        np.testing.assert_allclose(x, ref, rtol=1e-6, atol=1e-8)
+
+    def test_guards(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (
+            nystrom_pcg,
+        )
+
+        with pytest.raises(ValueError):
+            nystrom_pcg(jnp.zeros((4, 5)), jnp.zeros(4), 1e-3)
+        with pytest.raises(ValueError):
+            nystrom_pcg(jnp.eye(4), jnp.zeros(4), 0.0)
+
+    def test_preconditioner_conditioning(self):
+        # P^{-1}(A + mu I) should be O(1)-conditioned when the sketch
+        # captures the spectrum above mu
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.nystrom import (
+            nystrom_preconditioner, nystrom_psd,
+        )
+
+        a, _, mu = self._kernel_system(n=128)
+        u, lam = nystrom_psd(jnp.asarray(a), k=80, p=0)
+        precond = nystrom_preconditioner(u, lam, mu)
+        sys = a + mu * np.eye(128)
+        pinv_sys = np.asarray(precond(jnp.asarray(sys)))
+        cond_pre = np.linalg.cond(pinv_sys)
+        cond_raw = np.linalg.cond(sys)
+        assert cond_pre < 1e-3 * cond_raw
+        assert cond_pre < 50.0
+
+
 class TestReigh:
     def test_signed_spectrum(self):
         # indefinite: eigenvalues alternate in sign, magnitudes decay
