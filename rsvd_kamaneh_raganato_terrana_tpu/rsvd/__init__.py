@@ -116,6 +116,12 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tt import (  # noqa: F401
     tt_ranks,
     tt_reconstruct,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.rlu import (  # noqa: F401
+    RluResult,
+    rlu,
+    rlu_reconstruct,
+    rlu_solve,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.utv import (  # noqa: F401
     rutv,
     rutv_reconstruct,
