@@ -31,7 +31,15 @@ def main():
     ap.add_argument("--t", type=int, default=64,
                     help="video tensor frames (t x n/8 x n/8)")
     ap.add_argument("--out", default="bench_results/extensions.csv")
+    ap.add_argument("--only", default="",
+                    help="comma list of kernel-name substrings to run; "
+                         "rows APPEND to --out instead of overwriting")
     args = ap.parse_args()
+
+    def want(name):
+        if not args.only:
+            return True
+        return any(s and s in name for s in args.only.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -57,34 +65,54 @@ def main():
         print(row, flush=True)
 
     # tensor formats on a video-like stack
-    vid = jnp.asarray(rng.standard_normal((args.t, h, w)).astype("float32"))
-    r = (16, 32, 32)
-    per = chain_delta(lambda x: tucker(x, r, q=1)[0], scaled_variants((vid,)))
-    record("tucker_r16x32x32", f"{args.t}x{h}x{w}", per)
-    per = chain_delta(lambda x: tt_decompose(x, (16, 32))[0],
-                      scaled_variants((vid,)))
-    record("tt_r16_32", f"{args.t}x{h}x{w}", per)
-    per = chain_delta(lambda x: cp_decompose(x, 16, iters=10)[0],
-                      scaled_variants((vid,)))
-    record("cp_als16_it10", f"{args.t}x{h}x{w}", per)
+    if want("tucker") or want("tt_") or want("cp_"):
+        vid = jnp.asarray(
+            rng.standard_normal((args.t, h, w)).astype("float32"))
+        r = (16, 32, 32)
+        if want("tucker"):
+            per = chain_delta(lambda x: tucker(x, r, q=1)[0],
+                              scaled_variants((vid,)))
+            record("tucker_r16x32x32", f"{args.t}x{h}x{w}", per)
+        if want("tt_"):
+            per = chain_delta(lambda x: tt_decompose(x, (16, 32))[0],
+                              scaled_variants((vid,)))
+            record("tt_r16_32", f"{args.t}x{h}x{w}", per)
+        if want("cp_"):
+            per = chain_delta(lambda x: cp_decompose(x, 16, iters=10)[0],
+                              scaled_variants((vid,)))
+            record("cp_als16_it10", f"{args.t}x{h}x{w}", per)
 
     # implicit-matrix estimators on an n x n PSD operator
-    b = jnp.asarray(rng.standard_normal((n, 256)).astype("float32"))
-    a_psd = (b @ b.T) / 256.0 + jnp.eye(n, dtype=jnp.float32)
-    per = chain_delta(lambda x, s: hutchpp(x, seed=s, budget=96),
-                      [(a_psd, 0), (a_psd, 1)])
-    record("hutchpp_b96", f"{n}x{n}", per)
-    per = chain_delta(lambda x, s: logdet_psd(x, seed=s, num_probes=16,
-                                              steps=30),
-                      [(a_psd, 0), (a_psd, 1)])
-    record("slq_logdet_p16s30", f"{n}x{n}", per)
+    if want("hutchpp") or want("slq") or want("nystrom_pcg"):
+        b = jnp.asarray(rng.standard_normal((n, 256)).astype("float32"))
+        a_psd = (b @ b.T) / 256.0 + jnp.eye(n, dtype=jnp.float32)
+        if want("hutchpp"):
+            per = chain_delta(lambda x, s: hutchpp(x, seed=s, budget=96),
+                              [(a_psd, 0), (a_psd, 1)])
+            record("hutchpp_b96", f"{n}x{n}", per)
+        if want("slq"):
+            per = chain_delta(lambda x, s: logdet_psd(x, seed=s,
+                                                      num_probes=16,
+                                                      steps=30),
+                              [(a_psd, 0), (a_psd, 1)])
+            record("slq_logdet_p16s30", f"{n}x{n}", per)
+        if want("nystrom_pcg"):
+            from rsvd_kamaneh_raganato_terrana_tpu.rsvd import nystrom_pcg
+
+            rhs = jnp.asarray(rng.standard_normal(n).astype("float32"))
+            per = chain_delta(
+                lambda x, y: nystrom_pcg(x, y, mu=1e-2, rank=128,
+                                         iters=30, precision="default"),
+                scaled_variants((a_psd, rhs)))
+            record("nystrom_pcg_r128_i30", f"{n}x{n}", per)
 
     # sketched solver on a tall system
-    at = jnp.asarray(rng.standard_normal((8 * n, 128)).astype("float32"))
-    bt = jnp.asarray(rng.standard_normal((8 * n,)).astype("float32"))
-    per = chain_delta(lambda x, y: sketch_lstsq(x, y, iters=40),
-                      scaled_variants((at, bt)))
-    record("sketch_lstsq_i40", f"{8 * n}x128", per)
+    if want("sketch_lstsq"):
+        at = jnp.asarray(rng.standard_normal((8 * n, 128)).astype("float32"))
+        bt = jnp.asarray(rng.standard_normal((8 * n,)).astype("float32"))
+        per = chain_delta(lambda x, y: sketch_lstsq(x, y, iters=40),
+                          scaled_variants((at, bt)))
+        record("sketch_lstsq_i40", f"{8 * n}x128", per)
 
     # rank-revealing UTV at the headline shape
     from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
@@ -93,25 +121,38 @@ def main():
         rutv,
     )
 
-    sq = jnp.asarray(rng.standard_normal((n, n)).astype("float32"))
-    per = chain_delta(lambda x: rutv(x, k=64, p=16)[1],
-                      scaled_variants((sq,)))
-    record("rutv_k64", f"{n}x{n}", per)
+    if want("rutv") or want("rlu"):
+        sq = jnp.asarray(rng.standard_normal((n, n)).astype("float32"))
+        if want("rutv"):
+            per = chain_delta(lambda x: rutv(x, k=64, p=16)[1],
+                              scaled_variants((sq,)))
+            record("rutv_k64", f"{n}x{n}", per)
+        if want("rlu"):
+            from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rlu
+
+            per = chain_delta(lambda x: rlu(x, k=64, p=16,
+                                            precision="default").l_factor,
+                              scaled_variants((sq,)))
+            record("rlu_k64", f"{n}x{n}", per)
 
     # robust PCA and completion on a quarter-size problem (whole
     # iteration loops = one program each)
     nq = n // 4
-    lowq = jnp.asarray(
-        (rng.standard_normal((nq, 16)) @ rng.standard_normal((16, nq))
-         ).astype("float32"))
-    per = chain_delta(lambda x: rpca(x, k_max=32, iters=20).low_rank,
-                      scaled_variants((lowq,)))
-    record("rpca_k32_it20", f"{nq}x{nq}", per)
-    maskq = jnp.asarray(rng.random((nq, nq)) < 0.5)
-    per = chain_delta(
-        lambda x: complete_lowrank(x, maskq, k=16, iters=15).s,
-        scaled_variants((lowq,)))
-    record("completion_k16_it15", f"{nq}x{nq}", per)
+    if want("rpca") or want("completion"):
+        lowq = jnp.asarray(
+            (rng.standard_normal((nq, 16)) @ rng.standard_normal((16, nq))
+             ).astype("float32"))
+        if want("rpca"):
+            per = chain_delta(
+                lambda x: rpca(x, k_max=32, iters=20).low_rank,
+                scaled_variants((lowq,)))
+            record("rpca_k32_it20", f"{nq}x{nq}", per)
+        if want("completion"):
+            maskq = jnp.asarray(rng.random((nq, nq)) < 0.5)
+            per = chain_delta(
+                lambda x: complete_lowrank(x, maskq, k=16, iters=15).s,
+                scaled_variants((lowq,)))
+            record("completion_k16_it15", f"{nq}x{nq}", per)
 
     # HODLR: hierarchical build + matvec on a kernel-like matrix
     from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
@@ -119,25 +160,36 @@ def main():
         hodlr_matvec,
     )
 
-    xs = np.linspace(0, 1, n, dtype="float32")
-    kern = jnp.asarray(
-        np.exp(-((xs[:, None] - xs[None, :]) ** 2) / (2 * 0.1 * 0.1))
-        + 0.1 * np.eye(n, dtype="float32"))
-    per = chain_delta(lambda x: hodlr_build(x, levels=4, k=16).leaves,
-                      scaled_variants((kern,)))
-    record("hodlr_build_L4_k16", f"{n}x{n}", per)
-    h = hodlr_build(kern, levels=4, k=16)
-    vecs = [(jnp.asarray(rng.standard_normal(n).astype("float32")),),
-            (jnp.asarray(rng.standard_normal(n).astype("float32")),)]
-    per = chain_delta(lambda x: hodlr_matvec(h, x), vecs)
-    record("hodlr_matvec_L4_k16", f"{n}x{n}", per)
-    per = chain_delta(lambda x: kern @ x, vecs)
-    record("dense_matvec", f"{n}x{n}", per)
+    if want("hodlr") or want("dense_matvec"):
+        xs = np.linspace(0, 1, n, dtype="float32")
+        kern = jnp.asarray(
+            np.exp(-((xs[:, None] - xs[None, :]) ** 2) / (2 * 0.1 * 0.1))
+            + 0.1 * np.eye(n, dtype="float32"))
+        if want("hodlr"):
+            per = chain_delta(
+                lambda x: hodlr_build(x, levels=4, k=16).leaves,
+                scaled_variants((kern,)))
+            record("hodlr_build_L4_k16", f"{n}x{n}", per)
+            hm = hodlr_build(kern, levels=4, k=16)
+            vecs = [(jnp.asarray(rng.standard_normal(n).astype("float32")),),
+                    (jnp.asarray(rng.standard_normal(n).astype("float32")),)]
+            per = chain_delta(lambda x: hodlr_matvec(hm, x), vecs)
+            record("hodlr_matvec_L4_k16", f"{n}x{n}", per)
+        if want("dense_matvec"):
+            vecs = [(jnp.asarray(rng.standard_normal(n).astype("float32")),),
+                    (jnp.asarray(rng.standard_normal(n).astype("float32")),)]
+            per = chain_delta(lambda x: kern @ x, vecs)
+            record("dense_matvec", f"{n}x{n}", per)
 
+    if not rows:
+        print("no kernels matched --only; nothing to write")
+        return
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    with open(args.out, "w", newline="") as f:
+    append = bool(args.only) and os.path.exists(args.out)
+    with open(args.out, "a" if append else "w", newline="") as f:
         wtr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        wtr.writeheader()
+        if not append:
+            wtr.writeheader()
         wtr.writerows(rows)
     print(f"wrote {args.out}")
 
