@@ -216,7 +216,12 @@ def test_completion_recovery_property(seed, frac):
     multiple of the rank-3 degrees of freedom — at ~3x the DoF count the
     problem itself turns ill-posed and SVP is only guaranteed monotone
     (the backtracking guard in complete_lowrank, added after a 40%-
-    sampling run of the un-guarded eta = 1/p step diverged to 1e10)."""
+    sampling run of the un-guarded eta = 1/p step diverged to 1e10).
+    The default solver (NIHT adaptive step + two-sided ALS debias per
+    iteration) measured worst-of-840 trials on this exact family at
+    frac 0.5 is 1.1e-7 in 50 iters — adversarial seeds for weaker
+    schedules (58518 for fixed 1/p, 206 for one-sided debias) sit at
+    ~1e-7 here, so the 1e-3 bound has four decades of margin."""
     from rsvd_kamaneh_raganato_terrana_tpu.rsvd.completion import (
         complete_lowrank,
     )
