@@ -43,13 +43,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # per-precision MXU ceilings for f32 inputs on this chip (TFLOP/s):
 # bf16 peak ~197 (v5e-class); highest = 6-pass bf16, high = 3-pass.
 ROOFLINE_TFLOPS = {"highest": 197.0 / 6, "high": 197.0 / 3, "default": 197.0}
+# HBM bandwidth ceiling of the same chip (v5e: 819 GB/s).  Every row is
+# scored against BOTH rooflines and labels its binding resource: the
+# streamed GEMM's arithmetic intensity is l/2 FLOP/byte, so at l=144 the
+# `highest` rows (critical AI 40) are MXU-bound while `high`/`default`
+# (critical AI 80/241) are HBM-bound — the % columns must not silently
+# switch meaning (VERDICT r2 item 8).
+HBM_GBPS = 819.0
+# bytes of wire traffic per matrix entry by panel encoding
+PANEL_BYTES = {"": 4.0, "none": 4.0, "bfloat16": 2.0, "int8": 1.0}
 
 CSV_PATH = "bench_results/streaming.csv"
 FIELDS = [
-    "mode", "m", "n", "k", "l", "q", "precision", "panel_rows",
-    "wall_s", "transfer_gb", "h2d_gbps",
+    "mode", "m", "n", "k", "l", "q", "precision", "panel_dtype",
+    "panel_rows", "wall_s", "transfer_gb", "h2d_gbps",
     "sketch_s", "power_s", "project_s", "qr_s", "tail_s",
-    "gemm_tflops", "roofline_pct", "captured_energy", "sigma0",
+    "gemm_tflops", "mxu_roofline_pct", "hbm_gbps", "hbm_roofline_pct",
+    "bound", "captured_energy", "s_rel_vs_f32", "sigma0",
 ]
 
 
@@ -58,8 +68,24 @@ def log(msg):
 
 
 def append_row(row):
-    """Append immediately so killed/partial runs keep their rows."""
+    """Append immediately so killed/partial runs keep their rows.  If the
+    existing file's header predates the current schema, migrate it in
+    place (old rows keep '' in new columns) instead of silently writing
+    misaligned rows."""
     os.makedirs("bench_results", exist_ok=True)
+    if os.path.exists(CSV_PATH):
+        with open(CSV_PATH, newline="") as f:
+            rd = csv.DictReader(f)
+            if rd.fieldnames != FIELDS:
+                old = list(rd)
+                renames = {"mxu_roofline_pct": "roofline_pct"}
+                with open(CSV_PATH, "w", newline="") as g:
+                    w = csv.DictWriter(g, fieldnames=FIELDS,
+                                       extrasaction="ignore")
+                    w.writeheader()
+                    for r in old:
+                        w.writerow({k: r.get(k, r.get(renames.get(k, k), ""))
+                                    for k in FIELDS})
     exists = os.path.exists(CSV_PATH)
     with open(CSV_PATH, "a", newline="") as f:
         w = csv.DictWriter(f, fieldnames=FIELDS)
@@ -111,7 +137,7 @@ class TiledHostMatrix:
 
 
 def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
-            onepass=False):
+            onepass=False, panel_dtype=None, s_f32=None):
     import jax
 
     from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
@@ -124,18 +150,23 @@ def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
     if onepass:
         u, s, v = rsvd_streaming_onepass(
             a_src, k=k, p=16, method="eigh", panel_rows=panel_rows,
-            precision=precision, phase_times=phase)
+            precision=precision, phase_times=phase,
+            panel_dtype=panel_dtype)
     else:
         u, s, v = rsvd_streaming(
             a_src, k=k, p=16, q=q, method="eigh", panel_rows=panel_rows,
-            precision=precision, phase_times=phase)
+            precision=precision, phase_times=phase,
+            panel_dtype=panel_dtype)
     jax.block_until_ready((u, s, v))
     wall = time.perf_counter() - t0
     s_host = np.asarray(s, dtype=np.float64)
 
     l = min(k + 16, min(m, n))
     passes = 1 if onepass else (2 * q + 2)
-    gb = m * n * 4 * passes / 1e9
+    wire_bytes = PANEL_BYTES[panel_dtype or ""]
+    if panel_dtype == "int8":
+        wire_bytes += 4.0 / n  # per-row f32 scale
+    gb = m * n * wire_bytes * passes / 1e9
     # sketch/power GEMM FLOPs (the north-star phases). one-pass does
     # 2 GEMMs (Omega l + Psi s cols) in its single sweep.
     s_cols = 2 * l + 1
@@ -147,10 +178,15 @@ def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
     tflops = gemm_flops / max(gemm_s, 1e-9) / 1e12
     roof = ROOFLINE_TFLOPS.get(precision, float("nan"))
     captured = float((s_host ** 2).sum() / norm_sq) if norm_sq else float("nan")
+    s_rel = ""
+    if s_f32 is not None:
+        s_rel = round(float(np.max(np.abs(s_host - s_f32)
+                                   / np.maximum(s_f32, 1e-30))), 8)
 
     row = {
         "mode": mode, "m": m, "n": n, "k": k, "l": l,
         "q": (0 if onepass else q), "precision": precision,
+        "panel_dtype": panel_dtype or "",
         "panel_rows": panel_rows,
         "wall_s": round(wall, 3),
         "transfer_gb": round(gb, 2) if "real" in mode else 0.0,
@@ -163,12 +199,18 @@ def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
         "qr_s": round(phase.get("qr", 0.0), 3),
         "tail_s": round(phase.get("tail", phase.get("solve_tail", 0.0)), 3),
         "gemm_tflops": round(tflops, 2),
-        "roofline_pct": round(100.0 * tflops / roof, 1),
+        "mxu_roofline_pct": round(100.0 * tflops / roof, 1),
+        "hbm_gbps": "", "hbm_roofline_pct": "",
+        # a real host-streamed run is bound by the host->device link,
+        # not by either on-chip roofline
+        "bound": "h2d-link",
         "captured_energy": round(captured, 6),
+        "s_rel_vs_f32": s_rel,
         "sigma0": round(float(s_host[0]), 3),
     }
     log(" ".join(f"{k}={v}" for k, v in row.items()))
     append_row(row)
+    row["_s"] = s_host
     return row
 
 
@@ -301,11 +343,19 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
 
         gemm_s = t_sketch + t_zt + t_y2
         tflops = 3 * pass_flops / gemm_s / 1e12
+        # dual roofline: the streamed pass reads m*n*4 bytes of A from
+        # HBM per pass (the small operand + output are l/n-th of that);
+        # AI = l/2 FLOP/byte decides which ceiling binds this precision
+        hbm_gbps = 3 * (m * n * 4.0) / gemm_s / 1e9
+        ai = l / 2.0
+        ai_crit = roof * 1e12 / (HBM_GBPS * 1e9)
+        bound = "mxu" if ai >= ai_crit else "hbm"
         # expected sigma0 of the tiled operator ~ sqrt(tiles)*(sqrt(n)+sqrt(rows))
         sig0_exp = (tiles ** 0.5) * (n ** 0.5 + panel_rows ** 0.5)
         row = {
             "mode": "synth-jit", "m": m, "n": n, "k": k, "l": l, "q": q,
-            "precision": prec_name, "panel_rows": panel_rows,
+            "precision": prec_name, "panel_dtype": "",
+            "panel_rows": panel_rows,
             "wall_s": round(gemm_s * (2 * q + 2) / 3 + t_tail, 3),
             "transfer_gb": 0.0, "h2d_gbps": "",
             "sketch_s": round(t_sketch, 3),
@@ -313,8 +363,12 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
             "project_s": round(t_zt, 3),
             "qr_s": "", "tail_s": round(t_tail, 3),
             "gemm_tflops": round(tflops, 2),
-            "roofline_pct": round(100.0 * tflops / roof, 1),
+            "mxu_roofline_pct": round(100.0 * tflops / roof, 1),
+            "hbm_gbps": round(hbm_gbps, 1),
+            "hbm_roofline_pct": round(100.0 * hbm_gbps / HBM_GBPS, 1),
+            "bound": bound,
             "captured_energy": "",
+            "s_rel_vs_f32": "",
             "sigma0": round(float(s_host[0]), 2),
         }
         log(" ".join(f"{kk}={vv}" for kk, vv in row.items())
@@ -337,6 +391,9 @@ def main():
     ap.add_argument("--panel-mb", type=int, default=256)
     ap.add_argument("--onepass", action="store_true",
                     help="also run the one-pass variant per config")
+    ap.add_argument("--panel-dtypes", default="none",
+                    help="comma list of wire encodings per real run: "
+                         "none,bfloat16,int8")
     args = ap.parse_args()
 
     import jax
@@ -349,6 +406,8 @@ def main():
     log(f"devices: {jax.devices()}")
     rows = []
     precisions = args.precisions.split(",")
+    panel_dtypes = [None if x in ("", "none") else x
+                    for x in args.panel_dtypes.split(",")]
 
     for size in [int(x) for x in args.synth.split(",") if x]:
         rows.extend(run_synth(size, args.k, args.q, precisions))
@@ -368,9 +427,14 @@ def main():
         m = n_rows = tiles * br
         norm_sq = float((base.astype(np.float64) ** 2).sum()) * tiles
         for prec in precisions:
-            rows.append(run_one("real-tiled-onepass", src_t, m, n, args.k,
-                                args.q, prec, panel_rows, norm_sq,
-                                onepass=True))
+            s_ref = None
+            for pd in panel_dtypes:
+                r = run_one("real-tiled-onepass", src_t, m, n, args.k,
+                            args.q, prec, panel_rows, norm_sq,
+                            onepass=True, panel_dtype=pd, s_f32=s_ref)
+                if pd is None:
+                    s_ref = r["_s"]
+                rows.append(r)
 
     for size in [int(x) for x in args.real.split(",") if x]:
         m = n = size
@@ -381,12 +445,18 @@ def main():
         a, norm_sq = gen_host_matrix(m, n)
         log(f"generated in {time.perf_counter() - t0:.1f}s")
         for prec in precisions:
-            rows.append(run_one("real", a, m, n, args.k, args.q, prec,
-                                panel_rows, norm_sq))
-            if args.onepass:
-                rows.append(run_one("real-onepass", a, m, n, args.k,
-                                    args.q, prec, panel_rows, norm_sq,
-                                    onepass=True))
+            s_ref = None
+            for pd in panel_dtypes:
+                r = run_one("real", a, m, n, args.k, args.q, prec,
+                            panel_rows, norm_sq, panel_dtype=pd,
+                            s_f32=s_ref)
+                if pd is None:
+                    s_ref = r["_s"]
+                rows.append(r)
+                if args.onepass:
+                    rows.append(run_one("real-onepass", a, m, n, args.k,
+                                        args.q, prec, panel_rows, norm_sq,
+                                        onepass=True, panel_dtype=pd))
         del a
 
     log(f"recorded {len(rows)} rows in {CSV_PATH}")

@@ -116,6 +116,7 @@ def rsvd_streaming_multihost(
     seed: int = 0,
     dtype=jnp.float32,
     precision: str | jax.lax.Precision = "highest",
+    panel_dtype: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-k rSVD of a matrix whose row shards live one-per-host.
 
@@ -124,6 +125,9 @@ def rsvd_streaming_multihost(
     Returns (U_local, s, V): U_local holds this host's rows of U
     (m_local x k); s and V are replicated on every host (deterministic —
     every host computes the identical replicated tail).
+    ``panel_dtype`` ('bfloat16' | 'int8') compresses each host's local
+    panel transfers (rsvd.streaming module docstring) — purely local, so
+    hosts may even disagree on it without breaking SPMD order.
 
     Single-process runs degrade to :func:`rsvd.streaming.rsvd_streaming`
     semantics (same passes, CholeskyQR2 basis).
@@ -141,17 +145,18 @@ def rsvd_streaming_multihost(
     key = key_from_seed(seed)
     omega = jax.random.normal(key, (n, l), dtype)
 
-    y_local = _stream_right_multiply(a_local, omega, panel_rows, dtype, prec)
+    y_local = _stream_right_multiply(a_local, omega, panel_rows, dtype, prec,
+                                     panel_dtype)
     q_local = _cholqr2_distributed(y_local, m_global)
     for _ in range(q):
         z = _global_sum(_stream_left_t_multiply(
-            a_local, q_local, panel_rows, dtype, prec))
+            a_local, q_local, panel_rows, dtype, prec, panel_dtype))
         z_q, _ = _jit_qr(jnp.asarray(z, dtype), "robust")  # replicated
         y_local = _stream_right_multiply(a_local, z_q, panel_rows, dtype,
-                                         prec)
+                                         prec, panel_dtype)
         q_local = _cholqr2_distributed(y_local, m_global)
 
     b = jnp.asarray(_global_sum(_stream_left_t_multiply(
-        a_local, q_local, panel_rows, dtype, prec)), dtype).T
+        a_local, q_local, panel_rows, dtype, prec, panel_dtype)), dtype).T
     u_local, s, v = _tail_svd(b, q_local, method.value)
     return u_local[:, :k], s[:k], v[:, :k]

@@ -21,6 +21,19 @@ Halko scheme without storing A on device.  When the interconnect (not the
 MXU) is the bound, :func:`rsvd_streaming_onepass` factors A in a SINGLE
 streamed pass via a two-sided sketch.
 
+**Compressed-panel transfer** (``panel_dtype``): when the host link — not
+the MXU — is the bound (measured 8-27 MB/s through this environment's
+relay; even production PCIe at tens of GB/s trails the MXU), panels can
+cross the wire compressed: ``panel_dtype='bfloat16'`` halves the bytes
+(host round-to-nearest cast, device widens back — same mixed-precision
+argument as the stage-A GEMM ``precision`` knob), ``panel_dtype='int8'``
+quarters them (per-ROW absmax scaling on the host, dequantized on device
+fused into the panel GEMM).  Truncation-dominated spectra lose nothing
+measurable: the sketch Y = A Omega concentrates signal energy above the
+elementwise rounding noise (see bench_results/streaming.csv
+``panel_dtype`` rows for measured speed/error).  Host encode runs at
+memory bandwidth (GB/s) — three orders above the link it feeds.
+
 Inputs may also be :class:`SynthesizedMatrix` — an implicit operator whose
 panels are produced by a device-side function.  That is how the north-star
 benchmark measures the streamed *compute* path at 100k x 100k without
@@ -73,33 +86,78 @@ def _panels(m: int, panel_rows: int):
         yield start, min(panel_rows, m - start)
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def _panel_matmul(a_panel, b, precision=DOT_PRECISION):
-    return jnp.matmul(a_panel, b, precision=precision,
-                      preferred_element_type=a_panel.dtype)
+def _decode(a_panel, scale, dtype):
+    """Widen a wire-compressed panel back to the compute dtype (traced:
+    fuses into the consuming GEMM's program — no extra dispatch)."""
+    a = a_panel.astype(dtype) if a_panel.dtype != dtype else a_panel
+    if scale is not None:
+        a = a * scale[:, None].astype(dtype)
+    return a
 
 
 @partial(jax.jit, static_argnames=("precision",))
-def _panel_t_matmul_acc(acc, a_panel, q_panel, precision=DOT_PRECISION):
-    return acc + jnp.matmul(a_panel.T, q_panel, precision=precision,
-                            preferred_element_type=a_panel.dtype)
+def _panel_matmul(a_panel, b, scale=None, precision=DOT_PRECISION):
+    return jnp.matmul(_decode(a_panel, scale, b.dtype), b,
+                      precision=precision, preferred_element_type=b.dtype)
 
 
-def _stream_panels(a_src, panel_rows, dtype, prefetch: int = 2):
-    """Yield (start, rows, device_panel), prefetching the next panels'
-    host slice + H2D transfer on a background thread so the copy of panel
-    i+1 overlaps the GEMM on panel i (double buffering).  ``prefetch``
-    bounds device memory at prefetch+1 panels."""
+@partial(jax.jit, static_argnames=("precision",))
+def _panel_t_matmul_acc(acc, a_panel, q_panel, scale=None,
+                        precision=DOT_PRECISION):
+    # A_p = diag(scale) P  =>  A_p^T Q_p = P^T (diag(scale) Q_p): scaling
+    # the SMALL operand (rows x l, not rows x n) costs rows*l flops
+    a = a_panel.astype(acc.dtype) if a_panel.dtype != acc.dtype else a_panel
+    q = q_panel if scale is None else q_panel * scale[:, None].astype(acc.dtype)
+    return acc + jnp.matmul(a.T, q, precision=precision,
+                            preferred_element_type=acc.dtype)
+
+
+def _encode_panel(np_panel, panel_dtype):
+    """Host-side wire compression of one row panel.  Returns
+    (payload, per_row_scale_or_None).  bfloat16 = round-to-nearest cast
+    (2 bytes/entry); int8 = per-row absmax affine quantization
+    (1 byte/entry + 4 bytes/row).  Runs at host memory bandwidth."""
+    if panel_dtype in ("bfloat16", "bf16"):
+        import ml_dtypes
+        return np.asarray(np_panel).astype(ml_dtypes.bfloat16), None
+    if panel_dtype == "int8":
+        np_panel = np.asarray(np_panel)
+        absmax = np.max(np.abs(np_panel), axis=1, keepdims=True)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        q = np.rint(np_panel / scale).astype(np.int8)
+        return q, scale[:, 0]
+    raise ValueError(f"unknown panel_dtype {panel_dtype!r} "
+                     "(use None, 'bfloat16' or 'int8')")
+
+
+def _stream_panels(a_src, panel_rows, dtype, prefetch: int = 2,
+                   panel_dtype=None):
+    """Yield (start, rows, device_panel, scale), prefetching the next
+    panels' host slice + (encode +) H2D transfer on a background thread so
+    the copy of panel i+1 overlaps the GEMM on panel i (double buffering).
+    ``prefetch`` bounds device memory at prefetch+1 panels.  With
+    ``panel_dtype`` set, host ndarray panels cross the wire compressed
+    (scale is the per-row dequant factor for int8, else None); implicit
+    :class:`SynthesizedMatrix` panels are never encoded — they may already
+    be device-resident, so there is no transfer to shrink."""
     m = a_src.shape[0]
     spans = list(_panels(m, panel_rows))
 
     if hasattr(a_src, "panel"):
         def load(span):
-            return jnp.asarray(a_src.panel(span[0], span[1]), dtype)
+            return jnp.asarray(a_src.panel(span[0], span[1]), dtype), None
+    elif panel_dtype is None:
+        def load(span):
+            start, rows = span
+            return (jnp.asarray(np.asarray(a_src[start:start + rows]),
+                                dtype), None)
     else:
         def load(span):
             start, rows = span
-            return jnp.asarray(np.asarray(a_src[start:start + rows]), dtype)
+            payload, scale = _encode_panel(a_src[start:start + rows],
+                                           panel_dtype)
+            return (jnp.asarray(payload),
+                    None if scale is None else jnp.asarray(scale))
 
     with ThreadPoolExecutor(max_workers=1) as ex:
         futures = []
@@ -109,27 +167,33 @@ def _stream_panels(a_src, panel_rows, dtype, prefetch: int = 2):
                 futures.append((spans[idx], ex.submit(load, spans[idx])))
                 idx += 1
             (start, rows), fut = futures.pop(0)
-            yield start, rows, fut.result()
+            panel, scale = fut.result()
+            yield start, rows, panel, scale
 
 
 def _stream_right_multiply(a_src, b_dev, panel_rows, dtype,
-                           precision=DOT_PRECISION) -> jax.Array:
+                           precision=DOT_PRECISION,
+                           panel_dtype=None) -> jax.Array:
     """Y = A @ B, streaming A by row panels; Y accumulates on device."""
     chunks = []
-    for _, _, panel in _stream_panels(a_src, panel_rows, dtype):
-        chunks.append(_panel_matmul(panel, b_dev, precision=precision))
+    for _, _, panel, scale in _stream_panels(a_src, panel_rows, dtype,
+                                             panel_dtype=panel_dtype):
+        chunks.append(_panel_matmul(panel, b_dev, scale,
+                                    precision=precision))
     return jnp.concatenate(chunks, axis=0)
 
 
 def _stream_left_t_multiply(a_src, q_dev, panel_rows, dtype,
-                            precision=DOT_PRECISION) -> jax.Array:
+                            precision=DOT_PRECISION,
+                            panel_dtype=None) -> jax.Array:
     """Z = A^T @ Q, streaming A by row panels; Z (n x l) accumulates."""
     m, n = a_src.shape
     l = q_dev.shape[1]
     acc = jnp.zeros((n, l), dtype)
-    for start, rows, panel in _stream_panels(a_src, panel_rows, dtype):
+    for start, rows, panel, scale in _stream_panels(
+            a_src, panel_rows, dtype, panel_dtype=panel_dtype):
         acc = _panel_t_matmul_acc(acc, panel, q_dev[start:start + rows],
-                                  precision=precision)
+                                  scale, precision=precision)
     return acc
 
 
@@ -204,6 +268,7 @@ def rsvd_streaming(
     dtype=jnp.float32,
     precision: str | jax.lax.Precision = "highest",
     phase_times: Optional[dict] = None,
+    panel_dtype: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-k rSVD of a host-resident (or implicit) matrix streamed
     through the device.
@@ -211,7 +276,9 @@ def rsvd_streaming(
     ``a_host``: ndarray / np.memmap / :class:`SynthesizedMatrix` (m x n).
     ``panel_rows`` defaults to ~256 MB panels.  ``precision`` sets the MXU
     pass count of the streamed panel GEMMs (orthonormalizations always run
-    HIGHEST).  Returns (U, s, V) on device (m x k, k, n x k).
+    HIGHEST).  ``panel_dtype`` ('bfloat16' | 'int8') compresses the
+    host->device panel transfers (module docstring).  Returns (U, s, V)
+    on device (m x k, k, n x k).
     """
     method = SVDMethod.parse(method)
     prec = _PRECISIONS.get(precision, precision)
@@ -225,22 +292,26 @@ def rsvd_streaming(
 
     clock = _PhaseClock(phase_times)
     # stage A: Y = A Omega, Q = qr(Y), q power refinements
-    y = _stream_right_multiply(a_host, omega, panel_rows, dtype, prec)
+    y = _stream_right_multiply(a_host, omega, panel_rows, dtype, prec,
+                               panel_dtype)
     clock.mark("sketch", y)
     q_mat, _ = _jit_qr(y, "robust")
     clock.mark("qr", q_mat)
     for _ in range(q):
-        z = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec)
+        z = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec,
+                                    panel_dtype)
         clock.mark("power_zt", z)
         z_q, _ = _jit_qr(z, "robust")
         clock.mark("qr", z_q)
-        y = _stream_right_multiply(a_host, z_q, panel_rows, dtype, prec)
+        y = _stream_right_multiply(a_host, z_q, panel_rows, dtype, prec,
+                                   panel_dtype)
         clock.mark("power_y", y)
         q_mat, _ = _jit_qr(y, "robust")
         clock.mark("qr", q_mat)
 
     # stage B: B = Q^T A  (l x n), streamed:  B = (A^T Q)^T
-    b = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec).T
+    b = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec,
+                                panel_dtype).T
     clock.mark("project", b)
     u, s, v = _tail_svd(b, q_mat, method.value)
     clock.mark("tail", u, s, v)
@@ -248,13 +319,15 @@ def rsvd_streaming(
 
 
 @partial(jax.jit, static_argnames=("precision",))
-def _panel_onepass(a_panel, omega, psi_panel, w_acc, precision=DOT_PRECISION):
+def _panel_onepass(a_panel, omega, psi_panel, w_acc, scale=None,
+                   precision=DOT_PRECISION):
     """One fused dispatch per panel: the range contribution Y_p = A_p Omega
     and the co-range accumulation W += Psi_p^T A_p."""
-    y_p = jnp.matmul(a_panel, omega, precision=precision,
-                     preferred_element_type=a_panel.dtype)
-    w = w_acc + jnp.matmul(psi_panel.T, a_panel, precision=precision,
-                           preferred_element_type=a_panel.dtype)
+    a = _decode(a_panel, scale, omega.dtype)
+    y_p = jnp.matmul(a, omega, precision=precision,
+                     preferred_element_type=a.dtype)
+    w = w_acc + jnp.matmul(psi_panel.T, a, precision=precision,
+                           preferred_element_type=a.dtype)
     return y_p, w
 
 
@@ -269,6 +342,7 @@ def rsvd_streaming_onepass(
     dtype=jnp.float32,
     precision: str | jax.lax.Precision = "highest",
     phase_times: Optional[dict] = None,
+    panel_dtype: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-k rSVD in a SINGLE streamed pass over A (two-sided sketch).
 
@@ -303,9 +377,10 @@ def rsvd_streaming_onepass(
     clock = _PhaseClock(phase_times)
     w = jnp.zeros((s, n), dtype)
     chunks = []
-    for start, rows, panel in _stream_panels(a_host, panel_rows, dtype):
+    for start, rows, panel, scale in _stream_panels(
+            a_host, panel_rows, dtype, panel_dtype=panel_dtype):
         y_p, w = _panel_onepass(panel, omega, psi[start:start + rows], w,
-                                precision=prec)
+                                scale, precision=prec)
         chunks.append(y_p)
     y = jnp.concatenate(chunks, axis=0)
     clock.mark("sketch_pass", y, w)

@@ -109,3 +109,61 @@ def test_onepass_panel_invariance(rng):
     for u, s, v in outs[1:]:
         np.testing.assert_allclose(s, outs[0][1], rtol=1e-9)
         np.testing.assert_allclose(np.abs(u), np.abs(outs[0][0]), atol=1e-8)
+
+
+@pytest.mark.parametrize("panel_dtype", ["bfloat16", "int8"])
+def test_streaming_compressed_panels(rng, panel_dtype):
+    """Wire-compressed panels (bf16 halves, int8+row-scale quarters the
+    H2D bytes) recover a truncation-dominated spectrum to within the
+    compression's elementwise noise floor — the measured justification
+    for panel_dtype on real out-of-core runs (VERDICT r2 item 2)."""
+    m, n, r = 300, 200, 8
+    a = (10.0 * rng.standard_normal((m, r)) @ rng.standard_normal((r, n))
+         + 1e-3 * rng.standard_normal((m, n)))
+    u, s, v = rsvd_streaming(a, k=r, p=8, q=2, panel_rows=64,
+                             dtype=jnp.float32, panel_dtype=panel_dtype)
+    rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+    u0, s0, v0 = rsvd_streaming(a, k=r, p=8, q=2, panel_rows=64,
+                                dtype=jnp.float32)
+    rec0 = np.asarray(u0) * np.asarray(s0)[None, :] @ np.asarray(v0).T
+    # absolute recovery of the dominant subspace
+    tol = 2e-3 if panel_dtype == "bfloat16" else 6e-3
+    assert (np.linalg.norm(rec - a) / np.linalg.norm(a)
+            < tol + np.linalg.norm(rec0 - a) / np.linalg.norm(a))
+    # singular values match the uncompressed run to compression noise
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s0), rtol=2e-2)
+
+
+@pytest.mark.parametrize("panel_dtype", ["bfloat16", "int8"])
+def test_onepass_compressed_panels(rng, panel_dtype):
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
+        rsvd_streaming_onepass,
+    )
+
+    m, n, r = 200, 150, 8
+    a = (5.0 * rng.standard_normal((m, r)) @ rng.standard_normal((r, n))
+         + 1e-3 * rng.standard_normal((m, n)))
+    u, s, v = rsvd_streaming_onepass(a, k=r, p=8, panel_rows=64,
+                                     dtype=jnp.float32,
+                                     panel_dtype=panel_dtype)
+    rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+    assert np.linalg.norm(rec - a) < 2e-2 * np.linalg.norm(a)
+
+
+def test_int8_panel_row_scale_invariance(rng):
+    """Per-ROW absmax scaling makes int8 panels scale-free per row: a
+    matrix with wildly different row magnitudes quantizes each row at
+    its own dynamic range (a single per-panel scale would zero out the
+    small rows entirely)."""
+    m, n, r = 128, 96, 4
+    base = rng.standard_normal((m, r)) @ rng.standard_normal((r, n))
+    rowscale = 10.0 ** rng.uniform(-4, 4, size=(m, 1))
+    a = base * rowscale
+    u, s, v = rsvd_streaming(a, k=r, p=8, q=2, panel_rows=48,
+                             dtype=jnp.float32, panel_dtype="int8")
+    rec = (np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T)
+    # per-row relative error stays at int8 quantization level even for
+    # the tiny rows
+    row_err = (np.linalg.norm(rec - a, axis=1)
+               / np.maximum(np.linalg.norm(a, axis=1), 1e-30))
+    assert np.percentile(row_err, 95) < 5e-2
