@@ -139,6 +139,17 @@ def main():
     rel = np.linalg.norm(my_rows - rec) / np.linalg.norm(my_rows)
     assert rel < 0.05, f"local shard reconstruction {rel}"
 
+    # compressed-wire variant: int8 panels over the same shards — the
+    # per-host H2D encoding must not perturb the cross-host collectives
+    # or the recovered spectrum beyond quantization noise
+    u_q, s_q, v_q = rsvd_streaming_multihost(
+        my_rows, k=k, p=8, q=2, panel_rows=64, panel_dtype="int8")
+    s_q = np.asarray(s_q)
+    np.testing.assert_allclose(s_q[:8], s_full[:8], rtol=2e-2)
+    rec_q = np.asarray(u_q) @ np.diag(s_q) @ np.asarray(v_q).T
+    rel_q = np.linalg.norm(my_rows - rec_q) / np.linalg.norm(my_rows)
+    assert rel_q < 0.06, f"int8-panel shard reconstruction {rel_q}"
+
     print(f"worker {pid}: ok mesh={mesh.devices.shape} "
           f"collectives={found} s0={s_local[0]:.4f} "
           f"ring_s0={s_ring[0]:.4f} stream_s0={s_mh[0]:.4f} "
