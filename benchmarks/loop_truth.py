@@ -49,7 +49,11 @@ def main():
     q = int(os.environ.get("LT_Q", "2"))
     precision = os.environ.get("LT_PRECISION", "high")
     prec = _PRECISIONS[precision]
-    r_small, r_large = 2, 8
+    # wide rep spread: the slope must rise well above relay RTT jitter
+    # (~30 ms intercept, +-1 ms run-to-run; a 2:8 spread resolved only
+    # ~0.3 ms/iter and produced 0.31-0.67 ms readings of the SAME
+    # program -- 4:32 resolves ~0.07 ms/iter)
+    r_small, r_large = 4, 32
 
     def pipeline(a, seed, l, sketch):
         if sketch == "fused":
@@ -102,6 +106,7 @@ def main():
             per = max((t_l - t_s) / (r_large - r_small), 1e-9)
             gf = rsvd_flops(n, n, l, q) / per / 1e9
             row = {"n": n, "k": k, "sketch": sketch, "precision": precision,
+                   "r_spread": f"{r_small}:{r_large}",
                    "ms_per_iter": round(per * 1e3, 3),
                    "gflops": round(gf, 1)}
             rows.append(row)

@@ -1,20 +1,37 @@
-"""Pallas TPU kernels for the rSVD hot path.
+"""Pallas TPU kernels for the rSVD hot path — including two MEASURED
+NEGATIVE RESULTS kept as documented experiments.
 
 The reference's native layer is hand-written C++/MPI/OpenMP loops; the TPU
 counterpart is XLA GEMMs for everything the compiler already schedules
-optimally, plus Pallas kernels where manual fusion beats XLA:
+optimally, plus Pallas kernels where manual fusion was hypothesized to
+beat XLA.  Round-2/3 measurements settled each hypothesis:
 
+- ``quantize_uint8`` — the affine factor quantizer of the image codec
+  (native/codec.cpp's device-side twin) as a single VPU pass.  **Keeper**:
+  earns its single fused pass over the factors.
 - ``fused_sketch_matmul`` — stage A's Y = A @ Omega with the Gaussian test
   matrix generated **inside the kernel** (per-tile counter-based PRNG +
-  Box-Muller on the VPU, fed straight into MXU dot tiles).  Omega
-  (n x l floats) never exists in HBM: for the 100k x 100k rank-128 north
-  star that removes ~51 MB of HBM traffic per power iteration and the
-  whole allocation.  The reference instead materialized Omega with a
-  Gatherv+Bcast round (src/rSVD.cpp:12-55).
-- ``quantize_uint8`` — the affine factor quantizer of the image codec
-  (native/codec.cpp's device-side twin) as a single VPU pass.
+  Box-Muller on the VPU, fed straight into MXU dot tiles), so Omega never
+  exists in HBM.  **Negative result** (kept as an experiment, NOT a
+  production path): it loses to the plain XLA gaussian sketch at every
+  measured size — 4.24 vs 3.64 ms at 8192^2, 14.2 vs ~10.8 ms at 16384^2,
+  52.2 vs 39.2 ms at 32768^2 (bench_results/sketch_compare*.csv): the
+  in-kernel PRNG+Box-Muller VPU work serializes against the MXU inner
+  loop, while XLA overlaps Omega generation with other work and the
+  Omega HBM traffic it saves is only l/n of a pass.
+- ``eigh_small`` (rsvd ``method='eigh_pallas'``) — single-kernel
+  fixed-sweep parallel-Jacobi eigensolver for the l x l tail Gram.
+  **Negative result** (kept as an experiment): 2.07 ms pipeline vs
+  1.44 ms with XLA eigh at `highest` (round 2); round 3's in-loop phase
+  profile explains why no kernel rewrite can win here: an l=80 eigh
+  needs O(sweeps x l) ~ 500 SEQUENTIAL rotation rounds, and at
+  ~0.3-0.5 us of dependent-chain latency per round (MXU/VPU pipeline
+  depth) every Jacobi variant — Pallas, unrolled XLA, or XLA's own
+  QDWH-eig at 0.24 ms — lands on the same ~0.2-0.5 ms floor.  The tail
+  eigh is DEPTH-bound, not compiler-bound (docs/ARCHITECTURE.md
+  "Small-op latency decomposition").
 
-Both kernels run in interpret mode on CPU (tests/test_pallas.py) and
+All kernels run in interpret mode on CPU (tests/test_pallas.py) and
 compiled on TPU.
 """
 
@@ -102,8 +119,14 @@ def fused_sketch_matmul(a, l: int, seed: int = 0, block_m: int = 512,
 
     Returns (m x l) float32.  Deterministic in (seed, l) only — independent
     of block decomposition and backend; the draw differs from
-    `generate_omega`'s threefry stream — this is the performance variant
-    selected with ``rsvd(..., sketch='fused')``.
+    `generate_omega`'s threefry stream.  Selected with
+    ``rsvd(..., sketch='fused')``.
+
+    .. note:: **Measured negative result — not a production path.**  The
+       plain XLA gaussian sketch is faster at every measured size (module
+       docstring; bench_results/sketch_compare*.csv).  Kept as a working
+       example of in-kernel RNG fused into an MXU contraction, and for
+       the corner where Omega genuinely cannot be materialized.
     """
     m, n = a.shape
     if interpret is None:
@@ -295,11 +318,17 @@ def eigh_small(g, sweeps: int = 8, interpret: bool | None = None):
     ``jnp.linalg.eigh``.
 
     Accuracy ~f32 eps relative to the dominant eigenvalue (two-sided
-    cyclic Jacobi, `sweeps` full tournaments).  Intended for the l x l
-    Gram tails of the rSVD pipeline (l <= ~512); larger inputs should use
-    ``jnp.linalg.eigh``.  Pad eigenvalues are placed at -(||G||_F + 1),
-    strictly below every genuine eigenvalue (|lambda_min| <= ||G||_F), so
-    the ascending sort can never confuse pad and real eigenpairs.
+    cyclic Jacobi, `sweeps` full tournaments).  Pad eigenvalues are placed
+    at -(||G||_F + 1), strictly below every genuine eigenvalue
+    (|lambda_min| <= ||G||_F), so the ascending sort can never confuse pad
+    and real eigenpairs.
+
+    .. note:: **Measured negative result — not a production path** (module
+       docstring): slower than ``jnp.linalg.eigh`` on every tested tail
+       (0.24 ms floor at l=80 is DEPTH-bound — ~500 sequential rotation
+       rounds x MXU pipeline latency — so one-kernel residency cannot
+       win).  Kept as a working single-kernel Jacobi reference; use
+       ``method='eigh'`` in production.
     """
     if interpret is None:
         interpret = not _is_tpu()

@@ -47,6 +47,14 @@ def generate_omega(key_or_seed, n: int, l: int, dtype=jnp.float32,
 #   highest -> 6-pass bf16 (full f32 accuracy, 6x MXU cost)
 #   high    -> 3-pass bf16 (~f32 minus ~1 digit, 3x cost)
 #   default -> 1-pass bf16 (fastest, ~3 significant digits)
+#   bf16    -> same MXU math as 'default' (operands rounded to bf16,
+#              f32 accumulation), but A is CAST ONCE to bf16 storage so
+#              every stage-A pass reads HALF the HBM bytes.  At 4096+
+#              the default pipeline is HBM-bound on A reads (67 MB x 6
+#              passes at 4096^2 = 0.49 ms of bandwidth floor vs the
+#              0.55 ms measured total), so this is the throughput mode;
+#              numerics match 'default' (the per-GEMM operand rounding
+#              'default' performs is the same round-to-nearest cast).
 # Orthonormalization Grams (linalg/qr.py) always run at HIGHEST — their
 # FLOP share is l/n of the pipeline, and Q's orthogonality sets the final
 # factorization accuracy.
@@ -54,7 +62,10 @@ _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
+    "bf16": jax.lax.Precision.DEFAULT,
+    "bfloat16": jax.lax.Precision.DEFAULT,
 }
+_STORE_BF16 = ("bf16", "bfloat16")
 
 
 def _mm(a, b, precision=DOT_PRECISION):
@@ -64,6 +75,15 @@ def _mm(a, b, precision=DOT_PRECISION):
         # sparse operand (BCOO interaction matrices — the recsys_embed
         # role): sparse-dense product, precision flags don't apply
         return a @ b
+    if a.dtype != b.dtype:
+        # mixed-storage GEMM (bf16 A x f32 small operand): round the
+        # SMALL operand down to the narrow dtype and accumulate in the
+        # wide one — never widen the big operand (that would re-read it
+        # at full width, defeating bf16 storage)
+        lo, out = ((a.dtype, b.dtype) if jnp.dtype(a.dtype).itemsize
+                   < jnp.dtype(b.dtype).itemsize else (b.dtype, a.dtype))
+        return jnp.matmul(a.astype(lo), b.astype(lo), precision=precision,
+                          preferred_element_type=out)
     return jnp.matmul(a, b, precision=precision,
                       preferred_element_type=a.dtype)
 
@@ -116,10 +136,18 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
     """rSVD given an explicit sketch matrix — the vmappable core (used by
     the tile-parallel image path, where each tile draws an independent
     Omega like the reference's per-rank RNG, image rSVD.cpp:89-101)."""
+    from jax.experimental import sparse as jsparse
+
     prec = _PRECISIONS.get(precision, precision)
-    q_mat = subspace_iteration(a, omega, q, qr_method, prec, reorth,
+    a_stage = a
+    if precision in _STORE_BF16 and not isinstance(a, jsparse.JAXSparse) \
+            and jnp.dtype(a.dtype).itemsize > 2:
+        # one cast, then every stage-A pass reads bf16 (half/quarter the
+        # HBM bytes); _mm keeps f32 accumulation via preferred_element_type
+        a_stage = a.astype(jnp.bfloat16)
+    q_mat = subspace_iteration(a_stage, omega, q, qr_method, prec, reorth,
                                interior_qr)  # m x l
-    b = _mm(q_mat.T, a, prec)                               # l x n (replicated)
+    b = _mm(q_mat.T, a_stage, prec)                         # l x n (replicated)
     u_t, s, v = small_svd(b, method)
     u = _mm(q_mat, u_t)
     if k > 0:
@@ -186,7 +214,10 @@ def rsvd(
     k=0, p=16 => l=16 of tests/rSVD_test.cpp:63-67); p: oversampling;
     q: power iterations; method: small-SVD engine for the l x n tail;
     precision: MXU pass count for the stage-A GEMMs ('highest' = f32
-    parity, 'high'/'default' trade digits for throughput on TPU).
+    parity, 'high'/'default' trade digits for throughput on TPU;
+    'bf16' = 'default' numerics with A cast once to bf16 storage so
+    every HBM-bound stage-A pass reads half the bytes — the throughput
+    mode for truncation-dominated spectra).
     """
     from jax.experimental import sparse as jsparse
 

@@ -201,3 +201,54 @@ class TestWarmStart:
         u, s, v = rsvd(a, k=10, p=6, q=2, method="eigh")
         u2, s2, v2 = rsvd_warm(a, u, k=10, q=0)
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s), rtol=1e-8)
+
+
+class TestBf16StorageMode:
+    """precision='bf16': A cast once to bf16 storage, f32 accumulation —
+    'default' MXU numerics at half the stage-A HBM bytes."""
+
+    def test_truncation_dominated_parity(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+            reconstruction_error,
+        )
+
+        rng = np.random.default_rng(0)
+        # truncation floor (3e-2 noise) well ABOVE the bf16 rounding
+        # floor (~0.4% of ||A||): the regime the mode is for.  (On TPU
+        # 'default' already rounds every GEMM operand to bf16, so 'bf16'
+        # matches it bit-for-bit there; on CPU 'default' is exact f32,
+        # so this test sees the full storage-rounding penalty and checks
+        # it stays below the truncation error.)
+        a = jnp.asarray(
+            (rng.standard_normal((300, 32)) @ rng.standard_normal((32, 200))
+             + 3e-2 * rng.standard_normal((300, 200))), jnp.float32)
+        hi = rsvd(a, k=32, p=8, q=2, method="eigh", precision="highest")
+        lo = rsvd(a, k=32, p=8, q=2, method="eigh", precision="bf16")
+        e_hi = float(reconstruction_error(a, *hi))
+        e_lo = float(reconstruction_error(a, *lo))
+        assert e_lo < 1.05 * e_hi
+        np.testing.assert_allclose(np.asarray(lo[1]), np.asarray(hi[1]),
+                                   rtol=2e-2)
+        # outputs stay in the input dtype (the cast is internal)
+        assert lo[0].dtype == a.dtype and lo[1].dtype == a.dtype
+
+    def test_sparse_input_unaffected(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.experimental import sparse as jsparse
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd
+
+        rng = np.random.default_rng(1)
+        dense = np.zeros((120, 90), np.float32)
+        dense[rng.integers(0, 120, 400), rng.integers(0, 90, 400)] = \
+            rng.standard_normal(400).astype(np.float32)
+        a_sp = jsparse.BCOO.fromdense(jnp.asarray(dense))
+        u, s, v = rsvd(a_sp, k=8, p=16, q=2, method="eigh",
+                       precision="bf16")
+        s_np = np.linalg.svd(dense, compute_uv=False)
+        np.testing.assert_allclose(np.asarray(s)[:4], s_np[:4], rtol=5e-2)
