@@ -227,6 +227,64 @@ def _jacobi_core(a, tol, max_sweeps: int, apply: str):
     return u, s, v, sweeps
 
 
+def _block_round(w, v, pairs, b: int):
+    """One tournament round of block rotations: solve all disjoint
+    block-pair 2b x 2b subproblems at once (vmapped eigh of the pair
+    Grams, identity-aligned) and apply the orthogonal factors as batched
+    GEMMs.  Shared by the single-dispatch core and the chunked driver."""
+    m, n = w.shape
+    nb = n // b
+    dtype = w.dtype
+    p_idx = pairs[:, 0]
+    q_idx = pairs[:, 1]
+    wb = w.reshape(m, nb, b)
+    vb = v.reshape(n, nb, b)
+    # (npairs, m, 2b) pair panels
+    wp = jnp.concatenate([wb[:, p_idx], wb[:, q_idx]], axis=2)
+    wp = jnp.moveaxis(wp, 1, 0)
+    vp = jnp.concatenate([vb[:, p_idx], vb[:, q_idx]], axis=2)
+    vp = jnp.moveaxis(vp, 1, 0)
+    g = jnp.einsum("pmi,pmj->pij", wp, wp,
+                   precision=DOT_PRECISION)
+    lam, qrot = jnp.linalg.eigh(g)          # ascending eigenvalues
+    # Identity-alignment: raw eigh output orders columns by eigenvalue,
+    # which permutes columns across blocks every visit and makes the
+    # cyclic iteration LIMIT-CYCLE instead of converge (mass endlessly
+    # exchanged between pairings).  Primary alignment: send each
+    # eigenvector to the position of its dominant component
+    # (argmax |Q|), which directly maximizes diagonal dominance and is
+    # robust to clustered eigenvalues (where eigenvalue-order matching
+    # still cycles in f32).  When the argmax assignment collides
+    # (far from convergence), fall back to matching sorted eigenvalues
+    # to the sorted Gram diagonal.
+    two_b = qrot.shape[-1]
+    cand = jnp.argmax(jnp.abs(qrot), axis=1)            # (p, 2b)
+    counts = jax.vmap(
+        lambda c: jnp.zeros(two_b, jnp.int32).at[c].add(1)
+    )(cand)
+    is_perm = jnp.all(counts == 1, axis=1)              # (p,)
+    inv_cand = jnp.argsort(cand, axis=1)
+    d = jnp.diagonal(g, axis1=1, axis2=2)
+    pos_order = jnp.argsort(d, axis=1)                  # ascending, like lam
+    inv_diag = jnp.argsort(pos_order, axis=1)
+    inv = jnp.where(is_perm[:, None], inv_cand, inv_diag)
+    qrot = jnp.take_along_axis(qrot, inv[:, None, :], axis=2)
+    qdiag = jnp.diagonal(qrot, axis1=1, axis2=2)
+    signs = jnp.where(qdiag < 0, -1.0, 1.0).astype(dtype)
+    qrot = qrot * signs[:, None, :]
+    w_new = jnp.einsum("pmi,pij->pmj", wp, qrot,
+                       precision=DOT_PRECISION)
+    v_new = jnp.einsum("pmi,pij->pmj", vp, qrot,
+                       precision=DOT_PRECISION)
+    w_new = jnp.moveaxis(w_new, 0, 1)       # (m, npairs, 2b)
+    v_new = jnp.moveaxis(v_new, 0, 1)
+    wb = wb.at[:, p_idx].set(w_new[:, :, :b])
+    wb = wb.at[:, q_idx].set(w_new[:, :, b:])
+    vb = vb.at[:, p_idx].set(v_new[:, :, :b])
+    vb = vb.at[:, q_idx].set(v_new[:, :, b:])
+    return wb.reshape(m, n), vb.reshape(n, n)
+
+
 def _block_jacobi_core(a, tol, max_sweeps: int, block_size: int):
     """One-sided **block** Jacobi: tournament over column blocks; each
     round solves all disjoint block-pair subproblems at once (vmapped
@@ -260,54 +318,7 @@ def _block_jacobi_core(a, tol, max_sweeps: int, block_size: int):
     def one_round(r, carry):
         w, v = carry
         pairs = jax.lax.dynamic_index_in_dim(sched, r, keepdims=False)
-        p_idx = pairs[:, 0]
-        q_idx = pairs[:, 1]
-        wb = w.reshape(m, nb, b)
-        vb = v.reshape(n, nb, b)
-        # (npairs, m, 2b) pair panels
-        wp = jnp.concatenate([wb[:, p_idx], wb[:, q_idx]], axis=2)
-        wp = jnp.moveaxis(wp, 1, 0)
-        vp = jnp.concatenate([vb[:, p_idx], vb[:, q_idx]], axis=2)
-        vp = jnp.moveaxis(vp, 1, 0)
-        g = jnp.einsum("pmi,pmj->pij", wp, wp,
-                       precision=DOT_PRECISION)
-        lam, qrot = jnp.linalg.eigh(g)          # ascending eigenvalues
-        # Identity-alignment: raw eigh output orders columns by eigenvalue,
-        # which permutes columns across blocks every visit and makes the
-        # cyclic iteration LIMIT-CYCLE instead of converge (mass endlessly
-        # exchanged between pairings).  Primary alignment: send each
-        # eigenvector to the position of its dominant component
-        # (argmax |Q|), which directly maximizes diagonal dominance and is
-        # robust to clustered eigenvalues (where eigenvalue-order matching
-        # still cycles in f32).  When the argmax assignment collides
-        # (far from convergence), fall back to matching sorted eigenvalues
-        # to the sorted Gram diagonal.
-        two_b = qrot.shape[-1]
-        cand = jnp.argmax(jnp.abs(qrot), axis=1)            # (p, 2b)
-        counts = jax.vmap(
-            lambda c: jnp.zeros(two_b, jnp.int32).at[c].add(1)
-        )(cand)
-        is_perm = jnp.all(counts == 1, axis=1)              # (p,)
-        inv_cand = jnp.argsort(cand, axis=1)
-        d = jnp.diagonal(g, axis1=1, axis2=2)
-        pos_order = jnp.argsort(d, axis=1)                  # ascending, like lam
-        inv_diag = jnp.argsort(pos_order, axis=1)
-        inv = jnp.where(is_perm[:, None], inv_cand, inv_diag)
-        qrot = jnp.take_along_axis(qrot, inv[:, None, :], axis=2)
-        qdiag = jnp.diagonal(qrot, axis1=1, axis2=2)
-        signs = jnp.where(qdiag < 0, -1.0, 1.0).astype(dtype)
-        qrot = qrot * signs[:, None, :]
-        w_new = jnp.einsum("pmi,pij->pmj", wp, qrot,
-                           precision=DOT_PRECISION)
-        v_new = jnp.einsum("pmi,pij->pmj", vp, qrot,
-                           precision=DOT_PRECISION)
-        w_new = jnp.moveaxis(w_new, 0, 1)       # (m, npairs, 2b)
-        v_new = jnp.moveaxis(v_new, 0, 1)
-        wb = wb.at[:, p_idx].set(w_new[:, :, :b])
-        wb = wb.at[:, q_idx].set(w_new[:, :, b:])
-        vb = vb.at[:, p_idx].set(v_new[:, :, :b])
-        vb = vb.at[:, q_idx].set(v_new[:, :, b:])
-        return wb.reshape(m, n), vb.reshape(n, n)
+        return _block_round(w, v, pairs, b)
 
     def sweep_cond(state):
         w, v, sweep, off, prev_off = state
@@ -461,3 +472,150 @@ def jacobi_svd(
 
     u, s, v, _ = core(a)
     return u, s, v
+
+
+# ---------------------------------------------------------------------------
+# Chunked-dispatch block Jacobi: one device dispatch PER SWEEP with a
+# host-side convergence check between sweeps.  Numerically identical to
+# `jacobi_svd(apply='block')` (same rounds, same stopping logic), but no
+# single dispatch runs longer than one sweep — required on transports
+# with an execution watchdog (this environment's relay kills dispatches
+# beyond ~ minutes; a whole-convergence 4096^2 block-Jacobi program
+# reproducibly faulted the session, bench_results/svd_engines.csv note).
+# The per-sweep host round trip (~30 ms here) is noise against multi-
+# second sweeps at the sizes where this engine is used.
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n_pad",))
+def _block_prep_jit(a, n_pad: int):
+    """Norm-presort (de Rijk pivot ordering), zero-pad to n_pad columns,
+    and return the initial off-diagonal mass ratio + identity V."""
+    m, n_orig = a.shape
+    norms0 = jnp.sum(a * a, axis=0)
+    order0 = jnp.argsort(-norms0)
+    inv_order0 = jnp.argsort(order0)
+    a = a[:, order0]
+    if n_pad != n_orig:
+        a = jnp.concatenate(
+            [a, jnp.zeros((m, n_pad - n_orig), a.dtype)], axis=1)
+    return a, jnp.eye(n_pad, dtype=a.dtype), inv_order0, \
+        _offdiag_mass_ratio(a)
+
+
+@_partial(jax.jit, static_argnames=("b",))
+def _block_sweep_jit(w, v, b: int):
+    """One full block-tournament sweep; returns the updated factors and
+    the post-sweep off-diagonal mass ratio (the block-phase measure)."""
+    sched = jnp.asarray(round_robin_schedule(w.shape[1] // b))
+
+    def one_round(r, carry):
+        w_c, v_c = carry
+        pairs = jax.lax.dynamic_index_in_dim(sched, r, keepdims=False)
+        return _block_round(w_c, v_c, pairs, b)
+
+    w, v = jax.lax.fori_loop(0, sched.shape[0], one_round, (w, v))
+    return w, v, _offdiag_mass_ratio(w)
+
+
+@jax.jit
+def _polish_sweep_jit(w, v):
+    """One full scalar-tournament polish sweep; returns the post-sweep
+    max normalized off-diagonal (the polish-phase measure)."""
+    n = w.shape[1]
+    dtype = w.dtype
+    eps_rel = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    sched = jnp.asarray(round_robin_schedule(n))
+
+    def polish_round(r, carry):
+        w_c, v_c = carry
+        pairs = jax.lax.dynamic_index_in_dim(sched, r, keepdims=False)
+        p_idx = pairs[:, 0]
+        q_idx = pairs[:, 1]
+        c, s_ = _pair_rotations(w_c[:, p_idx], w_c[:, q_idx], eps_rel)
+        return _apply_round_scatter(w_c, v_c, p_idx, q_idx,
+                                    c.astype(dtype), s_.astype(dtype))
+
+    w, v = jax.lax.fori_loop(0, sched.shape[0], polish_round, (w, v))
+    return w, v, _max_normalized_offdiag(w)
+
+
+_offmax_jit = jax.jit(_max_normalized_offdiag)
+
+
+@_partial(jax.jit, static_argnames=("n_orig",))
+def _block_finish_jit(w, v, inv_order, n_orig: int):
+    """Sort/truncate/normalize — the exit transform of the block core."""
+    s = jnp.sqrt(jnp.sum(w * w, axis=0))
+    order = jnp.argsort(-s)[:n_orig]
+    s = s[order]
+    w = w[:, order]
+    v = v[:n_orig, order][inv_order]
+    safe = jnp.maximum(s, jnp.finfo(w.dtype).tiny)
+    u = jnp.where(s[None, :] > 0, w / safe[None, :], 0.0)
+    return u, s, v
+
+
+def jacobi_svd_chunked(
+    a,
+    tol: Optional[float] = None,
+    max_sweeps: int = 60,
+    block_size: int = 64,
+    precondition: bool = True,
+    progress=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """`jacobi_svd(apply='block')` with host-orchestrated sweeps.
+
+    Same math, same stopping rules (block phase: tol OR <1% mass
+    improvement; polish phase: tol within the sweep budget), but each
+    sweep is its own compiled dispatch with a 1-element convergence fetch
+    between sweeps, so no program exceeds a transport watchdog.
+    ``progress``: optional callable(phase, sweep, measure) invoked after
+    every sweep (e.g. for logging from benchmarks).
+    """
+    a = jnp.asarray(a)
+    m, n = a.shape
+    if m < n:
+        u, s, v = jacobi_svd_chunked(a.T, tol, max_sweeps, block_size,
+                                     precondition, progress)
+        return v, s, u
+    dtype = a.dtype
+    if tol is None:
+        tol = 30.0 * float(jnp.finfo(dtype).eps)
+
+    if precondition and m > n:
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
+
+        q0, r0 = jax.jit(qr_reduced, static_argnums=(1,))(a, "robust")
+        ur, s, v = jacobi_svd_chunked(r0, tol, max_sweeps, block_size,
+                                      precondition=False, progress=progress)
+        u = jnp.matmul(q0, ur, precision=DOT_PRECISION)
+        return u, s, v
+
+    b = min(block_size, n)
+    nb = -(-n // b)
+    nb += nb % 2
+    n_pad = nb * b
+
+    w, v, inv_order0, off0 = _block_prep_jit(a, n_pad)
+    off = float(off0)
+    prev = float("inf")
+    sweeps = 0
+    while sweeps < max_sweeps and off > tol and off < prev * 0.99:
+        w, v, off_new = _block_sweep_jit(w, v, b)
+        prev, off = off, float(off_new)   # forces the sweep to completion
+        sweeps += 1
+        if progress is not None:
+            progress("block", sweeps, off)
+
+    off_max = float(_offmax_jit(w))
+    i = 0
+    while i < max_sweeps and off_max > tol:
+        w, v, off_new = _polish_sweep_jit(w, v)
+        off_max = float(off_new)
+        i += 1
+        if progress is not None:
+            progress("polish", i, off_max)
+
+    return _block_finish_jit(w, v, inv_order0, n)

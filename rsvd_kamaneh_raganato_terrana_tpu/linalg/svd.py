@@ -102,13 +102,15 @@ def svd(
 
     ``method='auto'`` is the data-driven production dispatch
     (bench_results/svd_engines.csv, measured on TPU v5-lite over
-    spectra with condition number 1..1e6): tournament Jacobi via GEMM
-    rounds for tiny factors (single fused program, exact to f64-level),
-    XLA's QDWH SVD above — it is both the fastest and the most accurate
-    engine at every n >= 512 tested (e.g. n=1024 cond 1e6: 46 ms vs
-    1049 ms block Jacobi, with 15x better sigma accuracy).  The Jacobi/
-    Power engines remain for reference parity (SVD_class.hpp:28-97
-    dispatches the same names).
+    spectra with condition number 1..1e6 at every n in {512..4096} —
+    the 4096 cond >= 1e3 cells measured via the chunked-dispatch
+    engine, so no threshold rests on extrapolation): tournament Jacobi
+    via GEMM rounds for tiny factors (single fused program, exact to
+    f64-level), XLA's QDWH SVD above — it is both the fastest and the
+    most accurate engine at every n >= 512 tested (e.g. n=4096 cond
+    1e6: 1.05 s vs 201 s chunked block Jacobi, with ~40x better sigma
+    accuracy).  The Jacobi/Power engines remain for reference parity
+    (SVD_class.hpp:28-97 dispatches the same names).
     """
     method = SVDMethod.parse(method)
     a = jnp.asarray(a)

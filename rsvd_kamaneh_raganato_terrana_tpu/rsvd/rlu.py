@@ -47,12 +47,21 @@ class RluResult(NamedTuple):
     perm_cols: (n,) int32 — column permutation (the gather indices Q)
     l_factor:  (m, l) lower-trapezoidal
     u_factor:  (l, n) upper-trapezoidal with unit diagonal
+    l_ortho:   (m, l) the unit-lower trapezoid of the ORTHONORMAL range
+               panel's LU (l_factor = l_ortho @ u2.T).  Kept so solves can
+               go through the two factors separately: l_ortho's Gram
+               conditioning is bounded by the panel LU's (small), while
+               l_factor's Gram squares cond(u2) — which is set by A's
+               leading-l spectrum, not by the panel.
+    u2:        (l, l) upper-triangular second-LU factor
     """
 
     perm_rows: jax.Array
     perm_cols: jax.Array
     l_factor: jax.Array
     u_factor: jax.Array
+    l_ortho: jax.Array
+    u2: jax.Array
 
 
 @partial(jax.jit, static_argnames=("k", "p", "q", "precision"))
@@ -81,7 +90,7 @@ def _rlu_impl(a, *, k, p, q, seed, precision):
     u2 = jnp.triu(lu_b[:l, :])                                # l x l
     l_factor = _mm(l_y, u2.T, jax.lax.Precision.HIGHEST)      # m x l, lower
     u_factor = l2.T                                           # l x n, upper
-    return perm_rows, perm_cols, l_factor, u_factor
+    return perm_rows, perm_cols, l_factor, u_factor, l_y, u2
 
 
 def rlu(
@@ -121,23 +130,29 @@ def rlu_reconstruct(res: RluResult) -> jax.Array:
 def rlu_solve(res: RluResult, b) -> jax.Array:
     """Least-squares solve of A x ~ b through the RLU factors.
 
-    Solves min ||L U x_q - b_p|| on the permuted system, i.e.
-    x = Q (U^+ (L^+ P b)) with the triangular structure exploited:
-    L^+ via its (well-conditioned) l x l Gram, then the square leading
-    block of U back-substituted and the trailing columns set to zero —
-    the basic solution, which is exact when rank(A) <= l.
+    Solves min ||L U x_q - b_p|| on the permuted system with the
+    factored pseudo-inverse applied FACTOR BY FACTOR:
+    L = l_ortho @ u2^T, so L^+ b = u2^{-T} (l_ortho^+ b) — the l x l
+    Gram normal equations only ever see l_ortho, whose conditioning is
+    bounded by the orthonormal panel's LU (small), while u2 (carrying
+    A's leading-l spectrum, arbitrarily ill-conditioned) is handled by a
+    backward-stable triangular solve.  (Solving through l_factor's Gram
+    directly would square cond(u2).)  Then the square leading block of U
+    is back-substituted and the trailing columns set to zero — the basic
+    solution, exact when rank(A) <= l.
     """
     b = jnp.asarray(b, dtype=res.l_factor.dtype)
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
-    l_f, u_f = res.l_factor, res.u_factor
-    lsz = l_f.shape[1]
+    l_o, u_f = res.l_ortho, res.u_factor
+    lsz = l_o.shape[1]
     bp = b[res.perm_rows, :]
-    g = _mm(l_f.T, l_f, jax.lax.Precision.HIGHEST)
+    g = _mm(l_o.T, l_o, jax.lax.Precision.HIGHEST)
     c = jnp.linalg.cholesky(g)
-    y = jax.scipy.linalg.cho_solve(
-        (c, True), _mm(l_f.T, bp, jax.lax.Precision.HIGHEST))  # l x nrhs
+    w = jax.scipy.linalg.cho_solve(
+        (c, True), _mm(l_o.T, bp, jax.lax.Precision.HIGHEST))  # l x nrhs
+    y = jax.scipy.linalg.solve_triangular(res.u2.T, w, lower=True)
     # U = [U1 | U2] with U1 l x l upper-triangular (unit diagonal after
     # the second LU); basic solution: x_q = [U1^{-1} y; 0].
     x1 = jax.scipy.linalg.solve_triangular(u_f[:, :lsz], y, lower=False)

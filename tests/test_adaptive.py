@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
     reconstruction_error,
@@ -37,6 +38,7 @@ def test_exact_rank_detection(rng):
     assert k == 5
 
 
+@pytest.mark.slow
 def test_incremental_work_ratio(rng):
     """The incremental growth scheme must cost <= ~1.3x the GEMM work of a
     single right-sized run (the restart-from-scratch scheme it replaced

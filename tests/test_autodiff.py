@@ -78,6 +78,7 @@ class TestGradThroughRsvd:
         val, g = jax.value_and_grad(resid)(a)
         assert float(resid(a - 1e-2 * g)) < float(val)
 
+    @pytest.mark.slow
     def test_grad_through_explicit_omega(self):
         """Grads also flow w.r.t. the sketch matrix itself (learned
         sketches)."""

@@ -132,6 +132,7 @@ def test_dispatcher_unknown_app(capsys):
     assert "unknown app" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_plot_pod_and_pca(tmp_path):
     """Plot scripts produce PNGs from pipeline exports (reference
     scripts/plot_*.py role)."""

@@ -2,6 +2,7 @@
 multi-chip dry run on the virtual 8-device CPU mesh."""
 
 import sys
+import pytest
 
 import jax
 import numpy as np
@@ -21,6 +22,7 @@ def test_entry_compiles_and_runs():
     assert np.all(np.diff(s_np) <= 1e-3 * s_np[0])
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
@@ -28,6 +30,7 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_4():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge

@@ -2,6 +2,7 @@
 hodlr_solve (rsvd/hodlr.py)."""
 
 from functools import partial
+import pytest
 
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +23,7 @@ def _spd_kernel_matrix(n, ell=0.1, ridge=0.1):
 
 
 class TestHodlrSolve:
+    @pytest.mark.slow
     def test_matches_dense_solve(self):
         a = _spd_kernel_matrix(512)
         h = hodlr_build(jnp.asarray(a), levels=4, k=20)
@@ -46,6 +48,7 @@ def _toy_data(n=1024, noise=0.02, seed=0):
 
 
 class TestGP:
+    @pytest.mark.slow
     def test_hodlr_matches_dense_posterior(self):
         x, y = _toy_data(n=1024)
         xt = np.linspace(0.05, 0.95, 40)[:, None]
@@ -56,6 +59,7 @@ class TestGP:
         m_h = np.asarray(gp_h.predict(jnp.asarray(xt)))
         np.testing.assert_allclose(m_h, m_d, atol=1e-4 * np.abs(m_d).max())
 
+    @pytest.mark.slow
     def test_predicts_smooth_function(self):
         x, y = _toy_data(n=600, noise=0.01)
         gp = GP(kernel=KERN, noise=0.03, solver="auto").fit(x, y)
@@ -64,6 +68,7 @@ class TestGP:
         truth = np.sin(2 * np.pi * xt[:, 0]) + 0.3 * np.sin(9 * np.pi * xt[:, 0])
         assert np.sqrt(np.mean((pred - truth) ** 2)) < 0.05
 
+    @pytest.mark.slow
     def test_variance_shrinks_near_data(self):
         x, y = _toy_data(n=300)
         gp = GP(noise=0.05, solver="dense").fit(x, y)

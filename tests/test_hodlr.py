@@ -27,6 +27,7 @@ class TestHodlr:
         rec = np.asarray(hodlr_reconstruct(h))
         assert np.linalg.norm(rec - a) < 1e-6 * np.linalg.norm(a)
 
+    @pytest.mark.slow
     def test_matvec_matches_dense(self):
         a = _rbf_kernel(512, ell=0.05)
         h = hodlr_build(jnp.asarray(a), levels=4, k=20)
@@ -43,6 +44,7 @@ class TestHodlr:
         y_r = np.asarray(hodlr_reconstruct(h)) @ x
         np.testing.assert_allclose(y_h, y_r, atol=1e-8 * np.abs(y_r).max())
 
+    @pytest.mark.slow
     def test_compression_ratio(self):
         a = _rbf_kernel(1024, ell=0.2)
         h = hodlr_build(jnp.asarray(a), levels=5, k=8)

@@ -12,6 +12,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.linalg.incremental import (
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import svd
 
 
+@pytest.mark.slow
 def test_exact_append_matches_batch(rng):
     a = rng.standard_normal((40, 25))
     c = rng.standard_normal((40, 10))
@@ -24,6 +25,7 @@ def test_exact_append_matches_batch(rng):
     np.testing.assert_allclose(rec, full, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_truncated_append_near_optimal(rng):
     base = rng.standard_normal((60, 8)) @ rng.standard_normal((8, 30))
     more = rng.standard_normal((60, 8)) @ rng.standard_normal((8, 12))
@@ -34,6 +36,7 @@ def test_truncated_append_near_optimal(rng):
     np.testing.assert_allclose(np.asarray(s2)[:8], s_np[:8], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_streaming_class_tracks_snapshots(rng):
     """Stream snapshot batches like an online POD; rank-capped factors
     must track the dominant subspace."""

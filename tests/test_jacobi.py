@@ -53,12 +53,14 @@ def test_square_random(apply, rng):
 
 
 @pytest.mark.parametrize("shape", [(60, 20), (20, 60), (33, 17)])
+@pytest.mark.slow
 def test_rectangular(shape, rng):
     a = rng.standard_normal(shape)
     u, s, v = jacobi_svd(jnp.asarray(a))
     _check_svd(a, u, s, v)
 
 
+@pytest.mark.slow
 def test_block_apply_square(rng):
     """Block tournament (vmapped pair-Gram eigh) — the large-n engine."""
     a = rng.standard_normal((96, 96))
@@ -66,6 +68,7 @@ def test_block_apply_square(rng):
     _check_svd(a, u, s, v)
 
 
+@pytest.mark.slow
 def test_block_apply_nondividing_block(rng):
     a = rng.standard_normal((70, 50))  # 50 cols, block 16 -> padded
     u, s, v = jacobi_svd(jnp.asarray(a), apply="block", block_size=16)
@@ -87,6 +90,7 @@ def test_block_apply_wide_dynamic_range(rng):
     assert np.linalg.norm(np.asarray(v.T @ v) - np.eye(n)) < 1e-10
 
 
+@pytest.mark.slow
 def test_auto_large_n_uses_correct_engine(rng):
     """auto dispatch stays correct for a wide input (transposed, then the
     min-dim = 40 factor selects the gemm engine)."""
@@ -107,6 +111,7 @@ def test_auto_thresholds_match_measured_table():
     assert _auto_apply(4096) == "block"
 
 
+@pytest.mark.slow
 def test_block_apply_rank_deficient(rng):
     b = rng.standard_normal((80, 6))
     a = b @ rng.standard_normal((6, 60))
@@ -128,6 +133,7 @@ def test_rank_deficient(rng):
     assert np.all(np.asarray(s)[5:] < 1e-8 * np.asarray(s)[0])
 
 
+@pytest.mark.slow
 def test_reference_inputs(input_matrices):
     for name, a in input_matrices.items():
         u, s, v = jacobi_svd(jnp.asarray(a))
@@ -146,3 +152,59 @@ def test_f32_accuracy(rng):
     u, s, v = jacobi_svd(jnp.asarray(a))
     s_np = np.linalg.svd(a.astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(np.asarray(s), s_np, rtol=2e-4, atol=1e-4)
+
+
+class TestChunkedDispatch:
+    """jacobi_svd_chunked: one dispatch per sweep with host-side
+    convergence checks — must match apply='block' exactly (same rounds,
+    same stopping rules) while never compiling a whole-convergence
+    program (the relay-watchdog constraint, VERDICT r2 item 6)."""
+
+    @pytest.mark.slow
+    def test_matches_block_engine(self, rng):
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.jacobi import (
+            jacobi_svd,
+            jacobi_svd_chunked,
+        )
+
+        for n, cond in [(96, 1.0), (160, 1e3), (130, 1e6)]:
+            u0, _ = np.linalg.qr(rng.standard_normal((n, n)))
+            v0, _ = np.linalg.qr(rng.standard_normal((n, n)))
+            sig = np.logspace(0, -np.log10(max(cond, 1.0 + 1e-9)), n)
+            a = jnp.asarray((u0 * sig[None, :]) @ v0.T)
+            u1, s1, v1 = jacobi_svd(a, apply="block")
+            u2, s2, v2 = jacobi_svd_chunked(a)
+            np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                                       rtol=0, atol=0)
+            rec = (np.asarray(u2) * np.asarray(s2)[None, :]
+                   @ np.asarray(v2).T)
+            assert (np.linalg.norm(rec - np.asarray(a))
+                    < 1e-10 * np.linalg.norm(np.asarray(a)))
+
+    def test_tall_precondition_and_progress(self, rng):
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.jacobi import (
+            jacobi_svd_chunked,
+        )
+
+        a = jnp.asarray(rng.standard_normal((300, 120)))
+        seen = []
+        u, s, v = jacobi_svd_chunked(
+            a, progress=lambda ph, i, off: seen.append((ph, i, off)))
+        assert u.shape == (300, 120) and v.shape == (120, 120)
+        s_np = np.linalg.svd(np.asarray(a), compute_uv=False)
+        np.testing.assert_allclose(np.asarray(s), s_np, rtol=1e-9)
+        assert any(ph == "block" for ph, _, _ in seen)
+        # measures must be monotone non-increasing within the block phase
+        blocks = [off for ph, _, off in seen if ph == "block"]
+        assert all(b2 <= b1 * 1.01 for b1, b2 in zip(blocks, blocks[1:]))
+
+    def test_wide_input_transpose(self, rng):
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.jacobi import (
+            jacobi_svd_chunked,
+        )
+
+        a = jnp.asarray(rng.standard_normal((80, 150)))
+        u, s, v = jacobi_svd_chunked(a)
+        assert u.shape == (80, 80) and v.shape == (150, 80)
+        rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+        assert np.linalg.norm(rec - np.asarray(a)) < 1e-8

@@ -5,6 +5,7 @@ counts are kept small — every distinct shape costs a jit trace."""
 import jax.numpy as jnp
 import numpy as np
 from hypothesis import given, settings, strategies as st
+import pytest
 
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.incremental import svd_append_columns
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.jacobi import (
@@ -44,6 +45,7 @@ def test_round_robin_covers_every_pair_once(n):
 @given(m=st.sampled_from([2, 3, 17, 40]), n=st.sampled_from([2, 5, 23, 40]),
        seed=st.integers(0, 2**16))
 @settings(**COMMON)
+@pytest.mark.slow
 def test_jacobi_svd_contract(m, n, seed):
     # bucketed shapes (incl. the degenerate 2-row/col edges) so examples
     # share jit caches; see test_streaming_driver_contract
@@ -80,6 +82,7 @@ def test_robust_qr_contract(m, n, seed, rank_def):
 @given(seed=st.integers(0, 2**16), r=st.integers(1, 6),
        k_extra=st.integers(0, 6))
 @settings(**COMMON)
+@pytest.mark.slow
 def test_rsvd_near_optimal(seed, r, k_extra):
     rng = np.random.default_rng(seed)
     a = rng.standard_normal((50, 5 + r)) @ rng.standard_normal((5 + r, 40))
@@ -95,6 +98,7 @@ def test_rsvd_near_optimal(seed, r, k_extra):
        n=st.sampled_from([16, 33, 50]), panel_rows=st.sampled_from([7, 16, 33]),
        r=st.integers(1, 5))
 @settings(**COMMON)
+@pytest.mark.slow
 def test_streaming_driver_contract(seed, m, n, panel_rows, r):
     # shapes are drawn from fixed buckets (not free integer ranges) so the
     # 8 hypothesis examples share jit caches — a fresh (m, n, panel) shape
@@ -122,6 +126,7 @@ def test_streaming_driver_contract(seed, m, n, panel_rows, r):
        n=st.sampled_from([20, 37, 50]), panel_rows=st.sampled_from([9, 21]),
        r=st.integers(1, 4))
 @settings(**COMMON)
+@pytest.mark.slow
 def test_streaming_onepass_contract(seed, m, n, panel_rows, r):
     # bucketed shapes: see test_streaming_driver_contract
     """One-pass (two-sided sketch) driver: exact rank-r recovery and panel
@@ -144,6 +149,7 @@ def test_streaming_onepass_contract(seed, m, n, panel_rows, r):
 @given(seed=st.integers(0, 2**16), n1=st.sampled_from([3, 7, 12]),
        n2=st.sampled_from([1, 4, 8]))
 @settings(**COMMON)
+@pytest.mark.slow
 def test_incremental_append_equals_batch(seed, n1, n2):
     # bucketed shapes: see test_streaming_driver_contract
     rng = np.random.default_rng(seed)
@@ -184,6 +190,7 @@ def test_deim_interpolation_projector_property(seed, m, k):
 @given(seed=st.integers(0, 2**16), m=st.sampled_from([30, 64]),
        n=st.sampled_from([24, 50]), k=st.integers(2, 6))
 @settings(**COMMON)
+@pytest.mark.slow
 def test_rutv_factor_contract(seed, m, n, k):
     """UTV invariants on random input: orthonormal U/V, triangular
     positive-diagonal T, and ||A - UTV^T|| <= rsvd-grade error."""

@@ -90,3 +90,26 @@ class TestRlu:
                                    np.asarray(r1.l_factor), atol=1e-10)
         np.testing.assert_allclose(np.asarray(r0.u_factor),
                                    np.asarray(r1.u_factor), atol=1e-10)
+
+
+def test_rlu_solve_ill_conditioned_spectrum(rng):
+    """The factored pseudo-inverse (ADVICE r2): solving through
+    l_factor's Gram squares cond(u2) — at cond(A) ~ 1e8 in f64 the old
+    path loses ~16 digits and can NaN; the per-factor path (Gram only on
+    the orthonormal panel's LU trapezoid, triangular solve against u2)
+    stays backward-stable."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.rlu import rlu, rlu_solve
+
+    n = 80
+    u0, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    v0, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    sig = np.logspace(0, -8, n)
+    a = jnp.asarray((u0 * sig[None, :]) @ v0.T)
+    res = rlu(a, k=n - 10, p=10)  # l = n: exact factorization regime
+    x_true = rng.standard_normal((n,))
+    b = np.asarray(a) @ x_true
+    x = np.asarray(rlu_solve(res, jnp.asarray(b)))
+    assert np.all(np.isfinite(x))
+    # residual-based check (x itself is ill-determined at cond 1e8)
+    resid = np.linalg.norm(np.asarray(a) @ x - b) / np.linalg.norm(b)
+    assert resid < 1e-6

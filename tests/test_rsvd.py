@@ -109,6 +109,7 @@ def test_svd_engine_class(rng):
                                    rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_svd_xla_and_auto_methods(rng):
     """The production engines added from the svd_engines.csv study:
     'xla' (QDWH SVD) and the size-dispatched 'auto' must satisfy the

@@ -17,6 +17,7 @@ def _sparse_lowrank(rng, m, n, r, density=0.08):
     return np.where(mask, full, 0.0)
 
 
+@pytest.mark.slow
 def test_rsvd_accepts_bcoo(rng):
     d = _sparse_lowrank(rng, 120, 90, 5)
     a_sp = sparse.BCOO.fromdense(jnp.asarray(d))
@@ -27,6 +28,7 @@ def test_rsvd_accepts_bcoo(rng):
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_d), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_sparse_diagonal_exact(input_matrices):
     """The reference's diagonal .mtx inputs, fed as actual sparse."""
     d = input_matrices["sparse_matrix100.mtx"]
@@ -37,6 +39,7 @@ def test_sparse_diagonal_exact(input_matrices):
     assert err <= opt * 1.001 + 1e-9
 
 
+@pytest.mark.slow
 def test_sparse_embeddings_end_to_end(rng):
     d = _sparse_lowrank(rng, 96, 64, 4, density=0.15)
     a_sp = sparse.BCOO.fromdense(jnp.asarray(d))
