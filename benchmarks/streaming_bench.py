@@ -244,17 +244,24 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
         # device->host fetch cannot (execution is in-order per device)
         np.asarray(jax.device_get(jnp.ravel(x)[:1]))
 
-    def chain(fn, arg, n_small=1, n_large=4):
+    def chain(fn, arg, n_small=2, n_large=8):
         """Per-call seconds from the slope between two chain lengths (the
-        fetch RTT cancels in the delta)."""
-        out = fn(arg)
+        fetch RTT cancels in the delta).  Calls ALTERNATE between two
+        scaled copies of the input — identical FLOPs, different values —
+        so no transport layer can deduplicate repeated (program, input)
+        pairs into impossible throughput (round 3 found the previous
+        same-input chain reporting 127 TFLOP/s where the HBM bound
+        allows at most ~59: the relay had been collapsing duplicates)."""
+        args = (arg, arg * np.float32(2.0))
+        out = fn(args[0])
         _force(out)
+        _force(fn(args[1]))
 
         def run(nn):
             t0 = time.perf_counter()
             o = None
-            for _ in range(nn):
-                o = fn(arg)
+            for i in range(nn):
+                o = fn(args[i % 2])
             _force(o)
             return time.perf_counter() - t0
 
@@ -343,11 +350,20 @@ def run_synth(size, k, q, precisions, panel_rows=2048):
 
         gemm_s = t_sketch + t_zt + t_y2
         tflops = 3 * pass_flops / gemm_s / 1e12
-        # dual roofline: the streamed pass reads m*n*4 bytes of A from
-        # HBM per pass (the small operand + output are l/n-th of that);
-        # AI = l/2 FLOP/byte decides which ceiling binds this precision
-        hbm_gbps = 3 * (m * n * 4.0) / gemm_s / 1e9
-        ai = l / 2.0
+        # dual roofline.  Bytes of A read from HBM per pass depend on the
+        # precision's operand handling: XLA hoists the f32->bf16 convert
+        # of the loop-invariant base block OUT of the fori_loop, so
+        # 'high'/'default' passes re-read a 2-byte bf16 copy, while
+        # 'highest' (6-pass hi+lo bf16 split) reads 4 bytes/element.
+        # (Round 3 verified this: assuming 4 B for 'default' implied
+        # 1.4 TB/s on an 819 GB/s chip; at 2 B the same measurement is
+        # 700 GB/s = 85% of peak — physical, and reproduced with the
+        # dedup-proof alternating-input chain.)  The small operand +
+        # output are l/n-th of A's traffic.  AI = 2l/bytes_per_elt
+        # decides which ceiling binds this precision.
+        bytes_per_elt = 4.0 if prec_name == "highest" else 2.0
+        hbm_gbps = 3 * (m * n * bytes_per_elt) / gemm_s / 1e9
+        ai = 2.0 * l / bytes_per_elt
         ai_crit = roof * 1e12 / (HBM_GBPS * 1e9)
         bound = "mxu" if ai >= ai_crit else "hbm"
         # expected sigma0 of the tiled operator ~ sqrt(tiles)*(sqrt(n)+sqrt(rows))
