@@ -166,3 +166,31 @@ def test_plot_pod_and_pca(tmp_path):
     finally:
         _s.argv = old
     assert os.path.exists(str(tmp_path / "pca.png"))
+
+
+@pytest.mark.slow
+def test_bench_json_contract():
+    """bench.py must print ONE JSON line with the driver-contract keys
+    plus the round-3 dual record {ondevice_ms, chain_ms} (value =
+    ondevice_ms, the fori_loop ground truth)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({"PYTHONPATH": repo, "JAX_PLATFORMS": "cpu",
+                "BENCH_M": "256", "BENCH_N": "256", "BENCH_K": "8"})
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline", "ondevice_ms",
+                "chain_ms", "gflops", "err_ratio_vs_numpy"):
+        assert key in rec, key
+    assert rec["unit"] == "ms"
+    assert rec["value"] == rec["ondevice_ms"]
+    assert rec["err_ratio_vs_numpy"] < 1.5
