@@ -253,3 +253,19 @@ class TestBf16StorageMode:
                        precision="bf16")
         s_np = np.linalg.svd(dense, compute_uv=False)
         np.testing.assert_allclose(np.asarray(s)[:4], s_np[:4], rtol=5e-2)
+
+
+def test_bf16_storage_sharded_matches_single(mesh8, rng):
+    """precision='bf16' on a row-sharded A: the internal cast must
+    preserve the sharding (no implicit gather) and match the
+    single-device result up to partial-sum reduction order (the sharded
+    Grams psum per-shard partials — with bf16 operands the ordering
+    difference shows at ~1e-6 relative, vs 1e-10 for the f32 path)."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd
+
+    a = rng.standard_normal((256, 64)).astype(np.float32)
+    u1, s1, v1 = rsvd(jnp.asarray(a), k=8, p=8, q=2, precision="bf16")
+    a_sh = shard_rows(jnp.asarray(a), mesh8)
+    u2, s2, v2 = rsvd(a_sh, k=8, p=8, q=2, precision="bf16")
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-3)
