@@ -159,7 +159,14 @@ def _stream_panels(a_src, panel_rows, dtype, prefetch: int = 2,
             return (jnp.asarray(payload),
                     None if scale is None else jnp.asarray(scale))
 
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    # Two workers when encoding: the host-side cast/quantization of
+    # panel i+2 then overlaps the wire transfer of panel i+1 (numpy and
+    # the H2D copy both release the GIL); measured on the 16384^2 int8
+    # real run the single worker serialized ~0.5-1 s of encode per panel
+    # behind each transfer.  Plain f32 loads keep one worker (ordering
+    # is preserved either way — results are consumed in submit order).
+    workers = 2 if panel_dtype is not None else 1
+    with ThreadPoolExecutor(max_workers=workers) as ex:
         futures = []
         idx = 0
         while futures or idx < len(spans):
