@@ -132,10 +132,24 @@ def subspace_iteration(a, omega, q: int, qr_method: str = "robust",
 def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
                     method: str = "jacobi", qr_method: str = "robust",
                     precision: str | jax.lax.Precision = "highest",
-                    reorth: str = "full", interior_qr: Optional[str] = None):
+                    reorth: str = "full", interior_qr: Optional[str] = None,
+                    finish: str = "project"):
     """rSVD given an explicit sketch matrix — the vmappable core (used by
     the tile-parallel image path, where each tile draws an independent
-    Omega like the reference's per-rank RNG, image rSVD.cpp:89-101)."""
+    Omega like the reference's per-rank RNG, image rSVD.cpp:89-101).
+
+    ``finish``:
+    - ``'project'`` (default, reference semantics src/rSVD.cpp:85-128):
+      2q+2 passes over A — sketch, q power rounds, projection B = Q^T A.
+    - ``'rowspace'`` (q >= 1): stop stage A at the last co-range block
+      Z = A^T Q, orthonormalize it, and factor C = A Z_q directly:
+      A ~ C Z_q^T = U S (Z_q U_t)^T.  **2q+1 passes** — one full read of
+      A fewer, worth ~1/(2q+2) of the wall at HBM-bound sizes (measured
+      32768^2 k=128: docs/ARCHITECTURE.md).  The subspace quality sits a
+      half power iteration behind 'project' (the row basis has seen one
+      fewer application of A), indistinguishable on decaying spectra but
+      measurably looser on flat ones — hence opt-in.
+    """
     from jax.experimental import sparse as jsparse
 
     prec = _PRECISIONS.get(precision, precision)
@@ -145,6 +159,29 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
         # one cast, then every stage-A pass reads bf16 (half/quarter the
         # HBM bytes); _mm keeps f32 accumulation via preferred_element_type
         a_stage = a.astype(jnp.bfloat16)
+    if finish == "rowspace":
+        if q < 1:
+            raise ValueError("finish='rowspace' needs q >= 1 (its final "
+                             "half-round IS a power iteration)")
+        inner = qr_method if interior_qr is None else interior_qr
+        y = _mm(a_stage, omega, prec)
+        q_mat = orthonormal_basis(y, inner)
+        # q-1 full rounds; every basis here is interior (the rowspace
+        # tail re-orthonormalizes), so interior-quality QR throughout
+        q_mat = power_refine(a_stage, q_mat, q - 1, inner, prec, reorth,
+                             interior_qr)
+        z = _mm(a_stage.T, q_mat, prec)                 # n x l co-range
+        z_q = orthonormal_basis(z, qr_method)           # final (full) QR
+        c = _mm(a_stage, z_q, prec)                     # m x l: LAST pass
+        u_t, s, v_small = small_svd(c.T, method)        # c = v_small s u_t^T
+        u = v_small
+        v = _mm(z_q, u_t)
+        if k > 0:
+            u, s, v = u[:, :k], s[:k], v[:, :k]
+        return u, s, v
+    if finish != "project":
+        raise ValueError(f"unknown finish {finish!r} "
+                         "(use 'project' or 'rowspace')")
     q_mat = subspace_iteration(a_stage, omega, q, qr_method, prec, reorth,
                                interior_qr)  # m x l
     b = _mm(q_mat.T, a_stage, prec)                         # l x n (replicated)
@@ -156,7 +193,7 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
 
 
 def rsvd_core(a, seed, *, k, p, q, method, sketch, qr_method, precision,
-              reorth, interior_qr):
+              reorth, interior_qr, finish="project"):
     """Traceable (un-jitted) core of `rsvd`: jit/vmap/pre-bind it yourself
     when per-dispatch Python overhead matters (benchmarks pre-bind one
     `jax.jit(partial(rsvd_core, ...))` per configuration — through a
@@ -185,13 +222,13 @@ def rsvd_core(a, seed, *, k, p, q, method, sketch, qr_method, precision,
         return u, s, v
     omega = generate_omega(seed, n, l, a.dtype, sketch)
     return rsvd_with_omega(a, omega, q, k, method, qr_method, precision,
-                           reorth, interior_qr)
+                           reorth, interior_qr, finish)
 
 
 _rsvd_impl = partial(
     jax.jit,
     static_argnames=("k", "p", "q", "method", "sketch", "qr_method",
-                     "precision", "reorth", "interior_qr"),
+                     "precision", "reorth", "interior_qr", "finish"),
 )(rsvd_core)
 
 
@@ -207,6 +244,7 @@ def rsvd(
     precision: str = "highest",
     reorth: str = "full",
     interior_qr: Optional[str] = None,
+    finish: str = "project",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Randomized truncated SVD (reference rSVD, src/rSVD.cpp:72-133).
 
@@ -236,7 +274,7 @@ def rsvd(
     return _rsvd_impl(
         a, k=k, p=p, q=q, method=method.value, sketch=sketch,
         qr_method=qr_method, seed=seed, precision=precision,
-        reorth=reorth, interior_qr=interior_qr,
+        reorth=reorth, interior_qr=interior_qr, finish=finish,
     )
 
 

@@ -269,3 +269,66 @@ def test_bf16_storage_sharded_matches_single(mesh8, rng):
     u2, s2, v2 = rsvd(a_sh, k=8, p=8, q=2, precision="bf16")
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-3)
+
+
+class TestRowspaceFinish:
+    """finish='rowspace': the 2q+1-pass end-game (factor C = A Z_q
+    directly instead of projecting B = Q^T A) — one full read of A
+    fewer, a half power iteration weaker in subspace quality."""
+
+    def test_decaying_spectrum_parity(self, rng):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+            reconstruction_error,
+        )
+
+        u0, _ = np.linalg.qr(rng.standard_normal((200, 200)))
+        v0, _ = np.linalg.qr(rng.standard_normal((150, 150)))
+        sig = np.geomspace(1, 1e-5, 150)
+        a = jnp.asarray(u0[:, :150] @ np.diag(sig) @ v0.T)
+        proj = rsvd(a, k=16, p=8, q=2, method="eigh")
+        rows = rsvd(a, k=16, p=8, q=2, method="eigh", finish="rowspace")
+        e_p = float(reconstruction_error(a, *proj))
+        e_r = float(reconstruction_error(a, *rows))
+        s_np = np.linalg.svd(np.asarray(a), compute_uv=False)
+        opt = float(np.sqrt((s_np[16:] ** 2).sum()))
+        assert e_r <= 1.02 * opt  # near-optimal despite one fewer pass
+        assert e_r <= 1.02 * e_p + 1e-12
+        # contract: orthonormal factors, descending s
+        u, s, v = rows
+        assert np.abs(np.asarray(u.T @ u) - np.eye(16)).max() < 1e-5
+        assert np.abs(np.asarray(v.T @ v) - np.eye(16)).max() < 1e-5
+        assert np.all(np.diff(np.asarray(s)) <= 1e-12)
+
+    def test_exact_low_rank_and_all_methods(self, rng):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+            reconstruction_error,
+        )
+
+        a = jnp.asarray(rng.standard_normal((90, 8))
+                        @ rng.standard_normal((8, 70)))
+        for method in ("eigh", "jacobi", "power"):
+            u, s, v = rsvd(a, k=8, p=8, q=1, method=method,
+                           finish="rowspace")
+            err = float(reconstruction_error(a, u, s, v))
+            assert err < 1e-6 * float(jnp.linalg.norm(a)), method
+            assert u.shape == (90, 8) and v.shape == (70, 8)
+
+    def test_q0_rejected(self, rng):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd
+
+        a = jnp.asarray(rng.standard_normal((40, 30)))
+        with pytest.raises(ValueError):
+            rsvd(a, k=4, p=4, q=0, finish="rowspace")
+
+    def test_sharded_matches_single(self, mesh8, rng):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd
+
+        a = rng.standard_normal((256, 64)).astype(np.float32)
+        u1, s1, v1 = rsvd(jnp.asarray(a), k=8, p=8, q=2, finish="rowspace")
+        a_sh = shard_rows(jnp.asarray(a), mesh8)
+        u2, s2, v2 = rsvd(a_sh, k=8, p=8, q=2, finish="rowspace")
+        # f32 partial-sum ordering of the sharded Grams: ~1e-6 relative
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5)
