@@ -62,6 +62,9 @@ REORTH = os.environ.get("BENCH_REORTH", "half")
 # single-pass CholeskyQR for interior power-round orthonormalizations
 # (the final pre-projection QR stays CholeskyQR2) — see linalg/qr.py.
 INTERIOR = os.environ.get("BENCH_INTERIOR_QR", "robust1")
+# 'project' (reference-parity 2q+2 passes) or 'rowspace' (2q+1 passes,
+# one fewer read of A — rsvd_with_omega docstring).
+FINISH = os.environ.get("BENCH_FINISH", "project")
 DTYPE = "float32"
 
 
@@ -118,7 +121,7 @@ def main():
         omega = generate_omega(seed, N, l, x.dtype)
         return rsvd_with_omega(x, omega, q=Q, k=K, method=METHOD,
                                precision=PRECISION, reorth=REORTH,
-                               interior_qr=INTERIOR)
+                               interior_qr=INTERIOR, finish=FINISH)
 
     log("compiling + first run")
     t0 = time.perf_counter()
@@ -160,7 +163,7 @@ def main():
                 omega = generate_omega(seeds[i], N, l, x.dtype)
                 _, s_i, _ = rsvd_with_omega(
                     x, omega, q=Q, k=K, method=METHOD, precision=PRECISION,
-                    reorth=REORTH, interior_qr=INTERIOR)
+                    reorth=REORTH, interior_qr=INTERIOR, finish=FINISH)
                 return acc + s_i[0]
 
             return jax.lax.fori_loop(0, reps, body, jnp.zeros((), x.dtype))
@@ -216,6 +219,7 @@ def main():
         "gflops": round(gflops, 1),
         "err_ratio_vs_numpy": round(ours / theirs, 4),
         "precision": PRECISION,
+        "finish": FINISH,
         "device": str(jax.devices()[0]),
         "baseline_cpu_ms": round(cpu_s * 1e3, 1),
     }))
