@@ -7,6 +7,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     reconstruction_error,
     rsvd,
     rsvd_adaptive,
+    rsvd_batched,
     rsvd_image_preset,
     rsvd_sharded,
     rsvd_warm,

@@ -530,3 +530,46 @@ def rsvd_warm(
     if k > 0:
         u, s, v = u[:, :k], s[:k], v[:, :k]
     return u, s, v
+
+
+@partial(jax.jit, static_argnames=("k", "p", "q", "method", "precision",
+                                   "reorth", "finish"))
+def rsvd_batched(
+    a_batch,
+    k: int,
+    p: int = 10,
+    q: int = 2,
+    method: str = "eigh",
+    seed: int = 0,
+    precision: str = "highest",
+    reorth: str = "full",
+    finish: str = "project",
+):
+    """Batched rSVD of a stacked (b, m, n) operand — ONE compiled program
+    with every pipeline stage vmapped over the batch axis (the serving
+    shape: many same-sized factorizations amortize the latency-bound
+    small-op chain — at 4096^2 the 80x80 tail eigh alone is 44% of a
+    single pipeline, and a batch runs b of them as one batched kernel).
+
+    Each batch element draws an independent sketch (fold_in-style
+    ``seed + index``, like the reference's per-rank RNG role,
+    image rSVD.cpp:89-101).  Shard the batch axis over a mesh for
+    embarrassing parallelism (the image tile path, apps/image.py, is
+    this function specialized to tiles).  QR is fixed to Householder:
+    under vmap a ``lax.cond`` executes BOTH branches, so the robust
+    path would pay the fallback's cost every time anyway.
+
+    Returns (U, s, V) with shapes (b, m, k), (b, k), (b, n, k).
+    """
+    b, m, n = a_batch.shape
+    if k <= 0:
+        raise ValueError("rsvd_batched needs an explicit k > 0")
+    l = min(k + p, min(m, n))
+    seeds = seed + jnp.arange(b, dtype=jnp.int32)
+    omegas = jax.vmap(
+        lambda s: generate_omega(s, n, l, a_batch.dtype))(seeds)
+    return jax.vmap(
+        lambda x, om: rsvd_with_omega(
+            x, om, q=q, k=k, method=method, qr_method="householder",
+            precision=precision, reorth=reorth, finish=finish)
+    )(a_batch, omegas)

@@ -332,3 +332,58 @@ class TestRowspaceFinish:
         # f32 partial-sum ordering of the sharded Grams: ~1e-6 relative
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-5)
+
+
+class TestBatched:
+    """rsvd_batched: one compiled program, vmapped pipeline, independent
+    per-element sketches — the serving shape that amortizes the
+    latency-bound small-op tail across a batch."""
+
+    def test_matches_per_matrix_runs(self, rng):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
+            generate_omega,
+            rsvd_batched,
+            rsvd_with_omega,
+        )
+
+        b, m, n, k = 3, 60, 40, 6
+        a = jnp.asarray(rng.standard_normal((b, m, n)), jnp.float32)
+        u, s, v = rsvd_batched(a, k=k, p=6, q=2, seed=11)
+        assert u.shape == (b, m, k) and s.shape == (b, k)
+        assert v.shape == (b, n, k)
+        for i in range(b):
+            om = generate_omega(11 + i, n, k + 6, a.dtype)
+            ui, si, vi = rsvd_with_omega(a[i], om, q=2, k=k, method="eigh",
+                                         qr_method="householder")
+            np.testing.assert_allclose(np.asarray(s[i]), np.asarray(si),
+                                       rtol=1e-5)
+
+    def test_independent_sketches_and_recovery(self, rng):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd_batched
+
+        b, m, n, r = 4, 80, 50, 5
+        a_np = np.stack([
+            rng.standard_normal((m, r)) @ rng.standard_normal((r, n))
+            for _ in range(b)])
+        u, s, v = rsvd_batched(jnp.asarray(a_np, jnp.float32), k=r, p=8,
+                               q=2)
+        rec = np.einsum("bmk,bk,bnk->bmn", np.asarray(u), np.asarray(s),
+                        np.asarray(v))
+        for i in range(b):
+            rel = (np.linalg.norm(rec[i] - a_np[i])
+                   / np.linalg.norm(a_np[i]))
+            assert rel < 1e-4, (i, rel)
+
+    def test_batch_axis_shardable(self, mesh8, rng):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd_batched
+
+        b, m, n, k = 8, 48, 32, 4
+        a = jnp.asarray(rng.standard_normal((b, m, n)), jnp.float32)
+        a_sh = jax.device_put(a, NamedSharding(mesh8, P("rows", None, None)))
+        u1, s1, v1 = rsvd_batched(a, k=k, p=4, q=1)
+        u2, s2, v2 = rsvd_batched(a_sh, k=k, p=4, q=1)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5)
