@@ -276,6 +276,7 @@ def rsvd_streaming(
     precision: str | jax.lax.Precision = "highest",
     phase_times: Optional[dict] = None,
     panel_dtype: Optional[str] = None,
+    finish: str = "project",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-k rSVD of a host-resident (or implicit) matrix streamed
     through the device.
@@ -284,8 +285,12 @@ def rsvd_streaming(
     ``panel_rows`` defaults to ~256 MB panels.  ``precision`` sets the MXU
     pass count of the streamed panel GEMMs (orthonormalizations always run
     HIGHEST).  ``panel_dtype`` ('bfloat16' | 'int8') compresses the
-    host->device panel transfers (module docstring).  Returns (U, s, V)
-    on device (m x k, k, n x k).
+    host->device panel transfers (module docstring).  ``finish='rowspace'``
+    (q >= 1) ends stage A at the last co-range block and factors
+    C = A Z_q directly — **2q+1 streamed passes instead of 2q+2**, i.e.
+    one fewer full read of A through the host link, at a half power
+    iteration of subspace quality (rsvd.driver.rsvd_with_omega
+    docstring).  Returns (U, s, V) on device (m x k, k, n x k).
     """
     method = SVDMethod.parse(method)
     prec = _PRECISIONS.get(precision, precision)
@@ -293,6 +298,10 @@ def rsvd_streaming(
     l = min(k + p, min(m, n))
     if panel_rows is None:
         panel_rows = _default_panel_rows(m, n, dtype)
+    if finish not in ("project", "rowspace"):
+        raise ValueError(f"unknown finish {finish!r}")
+    if finish == "rowspace" and q < 1:
+        raise ValueError("finish='rowspace' needs q >= 1")
 
     key = key_from_seed(seed)
     omega = jax.random.normal(key, (n, l), dtype)
@@ -304,7 +313,8 @@ def rsvd_streaming(
     clock.mark("sketch", y)
     q_mat, _ = _jit_qr(y, "robust")
     clock.mark("qr", q_mat)
-    for _ in range(q):
+    rounds = q - 1 if finish == "rowspace" else q
+    for _ in range(rounds):
         z = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec,
                                     panel_dtype)
         clock.mark("power_zt", z)
@@ -315,6 +325,23 @@ def rsvd_streaming(
         clock.mark("power_y", y)
         q_mat, _ = _jit_qr(y, "robust")
         clock.mark("qr", q_mat)
+
+    if finish == "rowspace":
+        # final half-round: Z = A^T Q (pass 2q), orth, C = A Z_q (pass
+        # 2q+1), then factor C directly: A ~ C Z_q^T = U S (Z_q U_t)^T
+        z = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec,
+                                    panel_dtype)
+        clock.mark("power_zt", z)
+        z_q, _ = _jit_qr(z, "robust")
+        clock.mark("qr", z_q)
+        c = _stream_right_multiply(a_host, z_q, panel_rows, dtype, prec,
+                                   panel_dtype)
+        clock.mark("power_y", c)
+        # small_svd(c.T) gives c = v_small s u_t^T; _tail_svd's GEMM then
+        # builds z_q @ u_t — which is our V, while v_small is our U
+        v, s, u = _tail_svd(c.T, z_q, method.value)
+        clock.mark("tail", u, s, v)
+        return u[:, :k], s[:k], v[:, :k]
 
     # stage B: B = Q^T A  (l x n), streamed:  B = (A^T Q)^T
     b = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec,

@@ -167,3 +167,22 @@ def test_int8_panel_row_scale_invariance(rng):
     row_err = (np.linalg.norm(rec - a, axis=1)
                / np.maximum(np.linalg.norm(a, axis=1), 1e-30))
     assert np.percentile(row_err, 95) < 5e-2
+
+
+def test_streaming_rowspace_finish(rng):
+    """finish='rowspace': 2q+1 streamed passes (one fewer full read of A
+    over the host link) with the same recovery contract on decaying
+    spectra, and panel-decomposition invariance."""
+    a = _lowrank(rng, 280, 180, 6) + 1e-7 * rng.standard_normal((280, 180))
+    u, s, v = rsvd_streaming(a, k=8, p=6, q=2, panel_rows=64,
+                             dtype=jnp.float64, finish="rowspace")
+    assert u.shape == (280, 8) and v.shape == (180, 8)
+    rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+    assert np.linalg.norm(rec - a) < 1e-5 * np.linalg.norm(a)
+    assert np.abs(np.asarray(u.T @ u) - np.eye(8)).max() < 1e-10
+    assert np.abs(np.asarray(v.T @ v) - np.eye(8)).max() < 1e-10
+    u2, s2, v2 = rsvd_streaming(a, k=8, p=6, q=2, panel_rows=280,
+                                dtype=jnp.float64, finish="rowspace")
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-9)
+    with pytest.raises(ValueError):
+        rsvd_streaming(a, k=8, q=0, finish="rowspace")
