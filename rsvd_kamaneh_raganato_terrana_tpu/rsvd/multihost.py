@@ -117,6 +117,7 @@ def rsvd_streaming_multihost(
     dtype=jnp.float32,
     precision: str | jax.lax.Precision = "highest",
     panel_dtype: Optional[str] = None,
+    finish: str = "project",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-k rSVD of a matrix whose row shards live one-per-host.
 
@@ -128,6 +129,10 @@ def rsvd_streaming_multihost(
     ``panel_dtype`` ('bfloat16' | 'int8') compresses each host's local
     panel transfers (rsvd.streaming module docstring) — purely local, so
     hosts may even disagree on it without breaking SPMD order.
+    ``finish='rowspace'`` (q >= 1) ends at the last co-range block and
+    factors C = A Z_q directly: one fewer streamed pass per host AND one
+    fewer cross-host all-reduce (the projection's n x l sum) — every
+    process must pass the same value (it changes the collective order).
 
     Single-process runs degrade to :func:`rsvd.streaming.rsvd_streaming`
     semantics (same passes, CholeskyQR2 basis).
@@ -145,16 +150,51 @@ def rsvd_streaming_multihost(
     key = key_from_seed(seed)
     omega = jax.random.normal(key, (n, l), dtype)
 
+    if finish not in ("project", "rowspace"):
+        raise ValueError(f"unknown finish {finish!r}")
+    if finish == "rowspace" and q < 1:
+        raise ValueError("finish='rowspace' needs q >= 1")
+
     y_local = _stream_right_multiply(a_local, omega, panel_rows, dtype, prec,
                                      panel_dtype)
     q_local = _cholqr2_distributed(y_local, m_global)
-    for _ in range(q):
+    rounds = q - 1 if finish == "rowspace" else q
+    for _ in range(rounds):
         z = _global_sum(_stream_left_t_multiply(
             a_local, q_local, panel_rows, dtype, prec, panel_dtype))
         z_q, _ = _jit_qr(jnp.asarray(z, dtype), "robust")  # replicated
         y_local = _stream_right_multiply(a_local, z_q, panel_rows, dtype,
                                          prec, panel_dtype)
         q_local = _cholqr2_distributed(y_local, m_global)
+
+    if finish == "rowspace":
+        # final half-round: one all-reduced co-range block, replicated QR,
+        # then the LAST streamed pass C = A Z_q; the l x l Gram of the
+        # row-sharded C is the only remaining collective.
+        z = _global_sum(_stream_left_t_multiply(
+            a_local, q_local, panel_rows, dtype, prec, panel_dtype))
+        z_q, _ = _jit_qr(jnp.asarray(z, dtype), "robust")  # replicated
+        c_local = _stream_right_multiply(a_local, z_q, panel_rows, dtype,
+                                         prec, panel_dtype)
+        g = jnp.asarray(_global_sum(_jit_gram(c_local)), dtype)  # l x l
+        lam, w = jnp.linalg.eigh(g)          # ascending
+        lam = jnp.maximum(lam[::-1], 0.0)
+        w = w[:, ::-1]
+        s = jnp.sqrt(lam)
+        safe = jnp.maximum(s, jnp.finfo(dtype).tiny)
+        # C = U diag(s) W^T with G = W diag(s^2) W^T  =>  U = C W / s;
+        # columns with numerically-zero s carry no information — zero
+        # them instead of normalizing noise (same convention as the
+        # Jacobi engines)
+        u_local = jnp.matmul(c_local, w / safe[None, :],
+                             precision=jax.lax.Precision.HIGHEST)
+        # Gram-eigh noise floor: eigenvalues below eps*lam_max are
+        # indistinguishable from zero (i.e. s below sqrt(eps)*s0 — the
+        # Gram squares the spectrum)
+        live = lam > (jnp.finfo(dtype).eps * jnp.maximum(lam[0], 1.0))
+        u_local = jnp.where(live[None, :], u_local, 0.0)
+        v = jnp.matmul(z_q, w, precision=jax.lax.Precision.HIGHEST)
+        return u_local[:, :k], s[:k], v[:, :k]
 
     b = jnp.asarray(_global_sum(_stream_left_t_multiply(
         a_local, q_local, panel_rows, dtype, prec, panel_dtype)), dtype).T

@@ -68,3 +68,31 @@ def test_memmap_shard_source(tmp_path, rng):
     u, s, v = rsvd_streaming_multihost(ro, k=k, p=8, q=1, panel_rows=90)
     rec = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(v).T
     assert np.linalg.norm(a - rec) / np.linalg.norm(a) < 1e-4
+
+
+def test_single_process_rowspace_matches_project(rng):
+    """finish='rowspace' on the multihost driver (single-process
+    degenerate path): same recovery on a decaying spectrum, one fewer
+    pass + one fewer co-range all-reduce."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.multihost import (
+        rsvd_streaming_multihost,
+    )
+
+    a = (rng.standard_normal((220, 6)) @ rng.standard_normal((6, 140))
+         + 1e-7 * rng.standard_normal((220, 140))).astype(np.float32)
+    u, s, v = rsvd_streaming_multihost(a, k=8, p=6, q=2, panel_rows=64,
+                                       finish="rowspace")
+    rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+    assert np.linalg.norm(rec - a) < 1e-4 * np.linalg.norm(a)
+    # orthonormal within the numerical rank (k=8 > rank 6: trailing U
+    # columns are zeroed by the tiny-sigma guard, not normalized noise)
+    un = np.asarray(u)[:, :6]
+    assert np.abs(un.T @ un - np.eye(6)).max() < 1e-4
+    assert np.linalg.norm(np.asarray(u)[:, 6:]) < 1e-6
+    u2, s2, v2 = rsvd_streaming_multihost(a, k=8, p=6, q=2, panel_rows=64)
+    np.testing.assert_allclose(np.asarray(s)[:6], np.asarray(s2)[:6],
+                               rtol=1e-3)
+    import pytest
+
+    with pytest.raises(ValueError):
+        rsvd_streaming_multihost(a, k=8, q=0, finish="rowspace")
