@@ -150,6 +150,17 @@ def main():
     rel_q = np.linalg.norm(my_rows - rec_q) / np.linalg.norm(my_rows)
     assert rel_q < 0.06, f"int8-panel shard reconstruction {rel_q}"
 
+    # rowspace finish changes the cross-host collective ORDER (one fewer
+    # co-range all-reduce, tail becomes an l x l Gram all-reduce) — the
+    # 2-process run is where an SPMD-order bug would deadlock or diverge
+    u_r2, s_r2, v_r2 = rsvd_streaming_multihost(
+        my_rows, k=k, p=8, q=2, panel_rows=64, finish="rowspace")
+    s_r2 = np.asarray(s_r2)
+    np.testing.assert_allclose(s_r2[:8], s_full[:8], rtol=2e-2)
+    rec_r2 = np.asarray(u_r2) @ np.diag(s_r2) @ np.asarray(v_r2).T
+    rel_r2 = np.linalg.norm(my_rows - rec_r2) / np.linalg.norm(my_rows)
+    assert rel_r2 < 0.06, f"rowspace shard reconstruction {rel_r2}"
+
     print(f"worker {pid}: ok mesh={mesh.devices.shape} "
           f"collectives={found} s0={s_local[0]:.4f} "
           f"ring_s0={s_ring[0]:.4f} stream_s0={s_mh[0]:.4f} "
