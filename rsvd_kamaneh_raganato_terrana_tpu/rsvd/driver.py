@@ -209,6 +209,10 @@ def rsvd_core(a, seed, *, k, p, q, method, sketch, qr_method, precision,
             fused_sketch_matmul,
         )
 
+        if finish != "project":
+            raise ValueError("sketch='fused' (a documented negative-"
+                             "result experiment) only supports "
+                             "finish='project'")
         y = fused_sketch_matmul(a, l, seed).astype(a.dtype)
         inner = qr_method if interior_qr is None or q == 0 else interior_qr
         q_mat = orthonormal_basis(y, inner)
