@@ -186,8 +186,13 @@ def main():
         t0 = time.perf_counter()
         timed_loop(fn, 50, r)  # compile+first
         log(f"loop(R={r}) compile+first {time.perf_counter() - t0:.1f}s")
-    t_ls = min(timed_loop(loops[r_small], 100, r_small) for _ in range(3))
-    t_ll = min(timed_loop(loops[r_large], 200, r_large) for _ in range(3))
+    # distinct seed vectors per repetition: identical (program, input)
+    # dispatches can be deduplicated by the relay (the same hazard the
+    # chain clock defends against), which would corrupt the min()
+    t_ls = min(timed_loop(loops[r_small], 100 + 1000 * i, r_small)
+               for i in range(3))
+    t_ll = min(timed_loop(loops[r_large], 200 + 1000 * i, r_large)
+               for i in range(3))
     ondevice_s = max((t_ll - t_ls) / (r_large - r_small), 1e-9)
     log(f"fori_loop R={r_small}:{t_ls * 1e3:.1f} ms R={r_large}:"
         f"{t_ll * 1e3:.1f} ms -> on-device {ondevice_s * 1e3:.3f} ms/iter")

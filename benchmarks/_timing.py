@@ -62,3 +62,27 @@ def scaled_variants(args, factor=1.0001):
     first = args[0]
     return [tuple(args),
             (first * jnp.asarray(factor, first.dtype),) + tuple(args[1:])]
+
+
+def migrate_csv(path, fields, renames=None):
+    """If an existing CSV's header differs from ``fields``, rewrite it in
+    place under the new schema (renamed columns copied via ``renames``
+    {new: old}, missing columns blanked) so appends never produce
+    misaligned rows.  No-op when the file is absent or already current."""
+    import csv
+    import os
+
+    if not os.path.exists(path):
+        return
+    renames = renames or {}
+    with open(path, newline="") as f:
+        rd = csv.DictReader(f)
+        if rd.fieldnames == fields:
+            return
+        old = list(rd)
+    with open(path, "w", newline="") as g:
+        w = csv.DictWriter(g, fieldnames=fields, extrasaction="ignore")
+        w.writeheader()
+        for r in old:
+            w.writerow({k: r.get(k, r.get(renames.get(k, k), ""))
+                        for k in fields})

@@ -188,22 +188,15 @@ def main():
     if not rows:
         print("no kernels matched --only; nothing to write")
         return
+    from benchmarks._timing import migrate_csv
+
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     fields = list(rows[0].keys())
     append = bool(args.only) and os.path.exists(args.out)
     if append:
         # a stale file from an older schema would otherwise accumulate
         # misaligned rows: migrate it in place (missing columns -> '')
-        with open(args.out, newline="") as f:
-            rd = csv.DictReader(f)
-            if rd.fieldnames != fields:
-                old = list(rd)
-                with open(args.out, "w", newline="") as g:
-                    wtr = csv.DictWriter(g, fieldnames=fields,
-                                         extrasaction="ignore")
-                    wtr.writeheader()
-                    for r in old:
-                        wtr.writerow({k: r.get(k, "") for k in fields})
+        migrate_csv(args.out, fields)
     with open(args.out, "a" if append else "w", newline="") as f:
         wtr = csv.DictWriter(f, fieldnames=fields)
         if not append:

@@ -97,12 +97,17 @@ def main():
                 tc = time.perf_counter()
                 wall(fn, a, jnp.arange(r, dtype=jnp.int32))  # compile+run
                 log(f"n={n} {sketch} R={r} compile+first {time.perf_counter() - tc:.1f}s")
+            # distinct seed vectors per repetition (relay dedup hazard)
             t_s = min(wall(fns[r_small], a,
-                           jnp.arange(100, 100 + r_small, dtype=jnp.int32))[0]
-                      for _ in range(2))
+                           jnp.arange(100 + 1000 * i,
+                                      100 + 1000 * i + r_small,
+                                      dtype=jnp.int32))[0]
+                      for i in range(2))
             t_l = min(wall(fns[r_large], a,
-                           jnp.arange(200, 200 + r_large, dtype=jnp.int32))[0]
-                      for _ in range(2))
+                           jnp.arange(200 + 1000 * i,
+                                      200 + 1000 * i + r_large,
+                                      dtype=jnp.int32))[0]
+                      for i in range(2))
             per = max((t_l - t_s) / (r_large - r_small), 1e-9)
             gf = rsvd_flops(n, n, l, q) / per / 1e9
             row = {"n": n, "k": k, "sketch": sketch, "precision": precision,

@@ -72,20 +72,10 @@ def append_row(row):
     existing file's header predates the current schema, migrate it in
     place (old rows keep '' in new columns) instead of silently writing
     misaligned rows."""
+    from benchmarks._timing import migrate_csv
+
     os.makedirs("bench_results", exist_ok=True)
-    if os.path.exists(CSV_PATH):
-        with open(CSV_PATH, newline="") as f:
-            rd = csv.DictReader(f)
-            if rd.fieldnames != FIELDS:
-                old = list(rd)
-                renames = {"mxu_roofline_pct": "roofline_pct"}
-                with open(CSV_PATH, "w", newline="") as g:
-                    w = csv.DictWriter(g, fieldnames=FIELDS,
-                                       extrasaction="ignore")
-                    w.writeheader()
-                    for r in old:
-                        w.writerow({k: r.get(k, r.get(renames.get(k, k), ""))
-                                    for k in FIELDS})
+    migrate_csv(CSV_PATH, FIELDS, {"mxu_roofline_pct": "roofline_pct"})
     exists = os.path.exists(CSV_PATH)
     with open(CSV_PATH, "a", newline="") as f:
         w = csv.DictWriter(f, fieldnames=FIELDS)

@@ -544,6 +544,20 @@ def _polish_sweep_jit(w, v):
 _offmax_jit = jax.jit(_max_normalized_offdiag)
 
 
+def _jit_qr_robust(a):
+    """Module-level jitted robust QR for the chunked driver (a fresh
+    jax.jit wrapper per call would retrace every invocation)."""
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
+
+    global _JIT_QR
+    if _JIT_QR is None:
+        _JIT_QR = jax.jit(qr_reduced, static_argnums=(1,))
+    return _JIT_QR(a, "robust")
+
+
+_JIT_QR = None
+
+
 @_partial(jax.jit, static_argnames=("n_orig",))
 def _block_finish_jit(w, v, inv_order, n_orig: int):
     """Sort/truncate/normalize — the exit transform of the block core."""
@@ -585,9 +599,7 @@ def jacobi_svd_chunked(
         tol = 30.0 * float(jnp.finfo(dtype).eps)
 
     if precondition and m > n:
-        from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
-
-        q0, r0 = jax.jit(qr_reduced, static_argnums=(1,))(a, "robust")
+        q0, r0 = _jit_qr_robust(a)
         ur, s, v = jacobi_svd_chunked(r0, tol, max_sweeps, block_size,
                                       precondition=False, progress=progress)
         u = jnp.matmul(q0, ur, precision=DOT_PRECISION)

@@ -114,8 +114,9 @@ def complete_lowrank(
         minimizing the OBSERVED residual of u @ W^T: n independent
         k x k normal-equation solves, formed as one batched einsum
         (m*n*k^2 MXU flops) + one vmapped solve."""
-        gram = jnp.einsum("ik,ij,il->jkl", u, maskf, u)
-        rhs = (u.T @ a_masked).T  # n x k
+        gram = jnp.einsum("ik,ij,il->jkl", u, maskf, u,
+                          precision=jax.lax.Precision.HIGHEST)
+        rhs = _mm(a_masked.T, u)  # n x k
         scale = jnp.maximum(jnp.einsum("jkk->j", gram), 1.0)
         gram = gram + (lam * scale)[:, None, None] * eye_k
         return jax.vmap(jnp.linalg.solve)(gram, rhs[..., None])[..., 0]
@@ -123,8 +124,9 @@ def complete_lowrank(
     def fit_rows(v):
         """Mirror of fit_cols: given a row basis v (n x k), the m x k
         coefficients minimizing the observed residual of Z @ v^T."""
-        gram = jnp.einsum("jk,ij,jl->ikl", v, maskf, v)
-        rhs = a_masked @ v  # m x k
+        gram = jnp.einsum("jk,ij,jl->ikl", v, maskf, v,
+                          precision=jax.lax.Precision.HIGHEST)
+        rhs = _mm(a_masked, v)  # m x k
         scale = jnp.maximum(jnp.einsum("ikk->i", gram), 1.0)
         gram = gram + (lam * scale)[:, None, None] * eye_k
         return jax.vmap(jnp.linalg.solve)(gram, rhs[..., None])[..., 0]
@@ -164,7 +166,7 @@ def complete_lowrank(
         qw, _ = jnp.linalg.qr(w)               # n x k orthonormal
         z = fit_rows(qw)                       # m x k
         cu, cs, vz_t = jnp.linalg.svd(z, full_matrices=False)
-        cv = qw @ vz_t.T
+        cv = _mm(qw, vz_t.T)
         cx = _mm(cu * cs[None, :], cv.T)
         r_new, _ = obs_rmse_at(cx)
         ok = r_new <= r_cur

@@ -106,6 +106,29 @@ def _cholqr2_distributed(y_local, m_global: int):
 _jit_gram = jax.jit(_gram)
 
 
+@jax.jit
+def _rowspace_tail(c_local, g, z_q):
+    """One compiled program for the rowspace end-game (eager op-by-op
+    would cost one relay round trip per primitive, CLAUDE.md rule):
+    C = U diag(s) W^T with G = C^T C = W diag(s^2) W^T  =>  U = C W / s,
+    V = Z_q W.  Columns whose Gram eigenvalue sits below the eps*lam_max
+    noise floor (s below sqrt(eps)*s0 — the Gram squares the spectrum)
+    are zeroed instead of normalizing noise, the Jacobi engines'
+    convention."""
+    dtype = c_local.dtype
+    lam, w = jnp.linalg.eigh(g)          # ascending
+    lam = jnp.maximum(lam[::-1], 0.0)
+    w = w[:, ::-1]
+    s = jnp.sqrt(lam)
+    safe = jnp.maximum(s, jnp.finfo(dtype).tiny)
+    u_local = jnp.matmul(c_local, w / safe[None, :],
+                         precision=jax.lax.Precision.HIGHEST)
+    live = lam > (jnp.finfo(dtype).eps * jnp.maximum(lam[0], 1.0))
+    u_local = jnp.where(live[None, :], u_local, 0.0)
+    v = jnp.matmul(z_q, w, precision=jax.lax.Precision.HIGHEST)
+    return u_local, s, v
+
+
 def rsvd_streaming_multihost(
     a_local,
     k: int,
@@ -177,23 +200,7 @@ def rsvd_streaming_multihost(
         c_local = _stream_right_multiply(a_local, z_q, panel_rows, dtype,
                                          prec, panel_dtype)
         g = jnp.asarray(_global_sum(_jit_gram(c_local)), dtype)  # l x l
-        lam, w = jnp.linalg.eigh(g)          # ascending
-        lam = jnp.maximum(lam[::-1], 0.0)
-        w = w[:, ::-1]
-        s = jnp.sqrt(lam)
-        safe = jnp.maximum(s, jnp.finfo(dtype).tiny)
-        # C = U diag(s) W^T with G = W diag(s^2) W^T  =>  U = C W / s;
-        # columns with numerically-zero s carry no information — zero
-        # them instead of normalizing noise (same convention as the
-        # Jacobi engines)
-        u_local = jnp.matmul(c_local, w / safe[None, :],
-                             precision=jax.lax.Precision.HIGHEST)
-        # Gram-eigh noise floor: eigenvalues below eps*lam_max are
-        # indistinguishable from zero (i.e. s below sqrt(eps)*s0 — the
-        # Gram squares the spectrum)
-        live = lam > (jnp.finfo(dtype).eps * jnp.maximum(lam[0], 1.0))
-        u_local = jnp.where(live[None, :], u_local, 0.0)
-        v = jnp.matmul(z_q, w, precision=jax.lax.Precision.HIGHEST)
+        u_local, s, v = _rowspace_tail(c_local, g, z_q)
         return u_local[:, :k], s[:k], v[:, :k]
 
     b = jnp.asarray(_global_sum(_stream_left_t_multiply(

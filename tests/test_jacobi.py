@@ -174,8 +174,12 @@ class TestChunkedDispatch:
             a = jnp.asarray((u0 * sig[None, :]) @ v0.T)
             u1, s1, v1 = jacobi_svd(a, apply="block")
             u2, s2, v2 = jacobi_svd_chunked(a)
+            # same math and stopping rules, but independently compiled
+            # programs: pin to a few ulps rather than bitwise equality
+            # (XLA does not guarantee identical fusion across programs)
             np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
-                                       rtol=0, atol=0)
+                                       rtol=1e-13,
+                                       atol=1e-13 * float(s1[0]))
             rec = (np.asarray(u2) * np.asarray(s2)[None, :]
                    @ np.asarray(v2).T)
             assert (np.linalg.norm(rec - np.asarray(a))
