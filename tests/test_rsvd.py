@@ -348,15 +348,19 @@ class TestBatched:
 
         b, m, n, k = 3, 60, 40, 6
         a = jnp.asarray(rng.standard_normal((b, m, n)), jnp.float32)
+        # scan mode (default): identical per-matrix math incl. robust QR
         u, s, v = rsvd_batched(a, k=k, p=6, q=2, seed=11)
         assert u.shape == (b, m, k) and s.shape == (b, k)
         assert v.shape == (b, n, k)
         for i in range(b):
             om = generate_omega(11 + i, n, k + 6, a.dtype)
-            ui, si, vi = rsvd_with_omega(a[i], om, q=2, k=k, method="eigh",
-                                         qr_method="householder")
+            ui, si, vi = rsvd_with_omega(a[i], om, q=2, k=k, method="eigh")
             np.testing.assert_allclose(np.asarray(s[i]), np.asarray(si),
                                        rtol=1e-5)
+        # vmap mode: same spectra (cholqr2 in place of robust QR)
+        u2, s2, v2 = rsvd_batched(a, k=k, p=6, q=2, seed=11, mode="vmap")
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s),
+                                   rtol=1e-4)
 
     def test_independent_sketches_and_recovery(self, rng):
         from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd_batched
@@ -383,7 +387,9 @@ class TestBatched:
         b, m, n, k = 8, 48, 32, 4
         a = jnp.asarray(rng.standard_normal((b, m, n)), jnp.float32)
         a_sh = jax.device_put(a, NamedSharding(mesh8, P("rows", None, None)))
-        u1, s1, v1 = rsvd_batched(a, k=k, p=4, q=1)
-        u2, s2, v2 = rsvd_batched(a_sh, k=k, p=4, q=1)
+        # vmap mode is the mesh-sharded path (scan cannot parallelize a
+        # sharded batch axis)
+        u1, s1, v1 = rsvd_batched(a, k=k, p=4, q=1, mode="vmap")
+        u2, s2, v2 = rsvd_batched(a_sh, k=k, p=4, q=1, mode="vmap")
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-5)
