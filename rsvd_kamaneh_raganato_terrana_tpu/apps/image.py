@@ -138,13 +138,14 @@ class Image:
             chans = jnp.asarray(np.moveaxis(self._data, 2, 0), dtype=dtype)
             l = min(k + p, min(m, n))
             omega = sketch_matrix(jax.random.PRNGKey(seed), n, l, dtype)
-            # qr_method='householder': under vmap a lax.cond runs BOTH
-            # branches, so the 'robust' CholeskyQR fallback would compute
-            # Householder anyway — pick it directly (cheap at tile sizes).
-            u, s, v = jax.jit(
-                jax.vmap(lambda t: rsvd_with_omega(
-                    t, omega, q=q, k=k, qr_method="householder"))
-            )(chans)
+            # lax.map (not vmap): one compiled program running the exact
+            # single-matrix pipeline per channel — measured 2-6x faster
+            # per matrix than XLA's batched small-factorization kernels
+            # on one device (rsvd_batched mode='scan' rationale), and the
+            # robust QR works under scan (a lax.cond under vmap would run
+            # both branches).
+            u, s, v = jax.jit(lambda ts: jax.lax.map(
+                lambda t: rsvd_with_omega(t, omega, q=q, k=k), ts))(chans)
             self.U, self.S, self.V = (np.asarray(u), np.asarray(s),
                                       np.asarray(v))
         else:
@@ -199,14 +200,25 @@ class Image:
             spec = NamedSharding(mesh, P(mesh.axis_names[0]))
             tiles_dev = jax.device_put(tiles_dev, spec)
 
+        sharded = mesh is not None and (gy * gx) % mesh.devices.size == 0
+
         @jax.jit
         def run(ts, oms):
-            # householder QR: under vmap, the 'robust' path's lax.cond
-            # runs both branches per tile anyway — see compress()
-            return jax.vmap(
-                lambda t, o: rsvd_with_omega(t, o, q=q, k=k,
-                                             qr_method="householder")
-            )(ts, oms)
+            if sharded:
+                # vmap so the tile batch axis partitions over the mesh
+                # (lax.map would serialize it on one device); householder
+                # QR because a lax.cond under vmap runs both branches
+                return jax.vmap(
+                    lambda t, o: rsvd_with_omega(t, o, q=q, k=k,
+                                                 qr_method="householder")
+                )(ts, oms)
+            # single device: lax.map runs the exact per-tile pipeline
+            # (robust QR included) back to back — measured 2-6x faster
+            # per matrix than the vmapped batched kernels (see
+            # rsvd_batched mode='scan')
+            return jax.lax.map(
+                lambda to: rsvd_with_omega(to[0], to[1], q=q, k=k),
+                (ts, oms))
 
         u, s, v = run(tiles_dev, omegas)
         self.tile_factors = TileFactors(
