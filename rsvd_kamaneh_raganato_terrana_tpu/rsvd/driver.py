@@ -48,13 +48,14 @@ def generate_omega(key_or_seed, n: int, l: int, dtype=jnp.float32,
 #   high    -> 3-pass bf16 (~f32 minus ~1 digit, 3x cost)
 #   default -> 1-pass bf16 (fastest, ~3 significant digits)
 #   bf16    -> same MXU math as 'default' (operands rounded to bf16,
-#              f32 accumulation), but A is CAST ONCE to bf16 storage so
-#              every stage-A pass reads HALF the HBM bytes.  At 4096+
-#              the default pipeline is HBM-bound on A reads (67 MB x 6
-#              passes at 4096^2 = 0.49 ms of bandwidth floor vs the
-#              0.55 ms measured total), so this is the throughput mode;
-#              numerics match 'default' (the per-GEMM operand rounding
-#              'default' performs is the same round-to-nearest cast).
+#              f32 accumulation), but A is CAST ONCE to bf16 storage.
+#              Measured: inside one fused pipeline XLA already CSEs the
+#              operand convert, so this mode matches 'default' there
+#              (docs/ARCHITECTURE.md); it pays when A is used once per
+#              program (standalone skinny GEMM: 0.151 vs 0.653 ms at
+#              4096^2 x 80) and halves A's HBM footprint.  Numerics
+#              match 'default' (the per-GEMM operand rounding 'default'
+#              performs is the same round-to-nearest cast).
 # Orthonormalization Grams (linalg/qr.py) always run at HIGHEST — their
 # FLOP share is l/n of the pipeline, and Q's orthogonality sets the final
 # factorization accuracy.
