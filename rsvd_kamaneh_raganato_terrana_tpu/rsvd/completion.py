@@ -207,7 +207,14 @@ def complete_tucker(
     """Low-multilinear-rank TENSOR completion: the same SVP projected
     gradient with the randomized Tucker (ST-HOSVD) as the projection
     P_ranks — one fori_loop program, fresh per-iteration sketches.
-    Returns (core, factors, observed-RMSE trace)."""
+    Returns (core, factors, observed-RMSE trace).
+
+    Note: keeps the plain fixed-step + backtracking SVP scheme.  The
+    matrix path's NIHT step and two-sided ALS debias have no cheap
+    Tucker analogue (a per-fiber refit is a mode-wise Sylvester system,
+    not a batched k x k solve), so expect SVP-rate convergence here —
+    budget iters accordingly at sampling ratios near the DoF threshold.
+    """
     from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tucker import (
         tucker,
         tucker_reconstruct,
