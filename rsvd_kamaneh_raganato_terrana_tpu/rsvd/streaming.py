@@ -264,6 +264,60 @@ class _PhaseClock:
         self._t = now
 
 
+class _StreamCheckpoint:
+    """Pass-level checkpointing for the streamed driver: each completed
+    streamed pass saves its (small) result array, so a killed multi-hour
+    out-of-core run resumes from the last finished pass instead of
+    re-reading A from the start.  Stale checkpoints (any parameter
+    mismatch) are ignored and overwritten; only l-sized factors are
+    stored (the m x l basis at 100k x 144 is ~57 MB — pennies next to a
+    re-streamed 40 GB pass)."""
+
+    def __init__(self, directory: str, meta: dict):
+        import json
+        import os
+
+        self._dir = directory
+        os.makedirs(directory, exist_ok=True)
+        self._meta_path = os.path.join(directory, "meta.json")
+        meta = {k: str(v) for k, v in meta.items()}
+        self._valid = False
+        if os.path.exists(self._meta_path):
+            try:
+                with open(self._meta_path) as f:
+                    self._valid = json.load(f) == meta
+            except Exception:  # noqa: BLE001 — corrupt meta = no resume
+                self._valid = False
+        if not self._valid:
+            for f in os.listdir(directory):
+                if f.endswith(".npy") or f == "meta.json":
+                    os.remove(os.path.join(directory, f))
+            with open(self._meta_path, "w") as f:
+                json.dump(meta, f)
+            self._valid = True
+
+    def _path(self, stage: str) -> str:
+        import os
+
+        return os.path.join(self._dir, f"{stage}.npy")
+
+    def load(self, stage: str):
+        import os
+
+        path = self._path(stage)
+        if os.path.exists(path):
+            return jnp.asarray(np.load(path))
+        return None
+
+    def save(self, stage: str, arr) -> None:
+        import os
+
+        tmp = self._path(stage) + ".tmp"
+        with open(tmp, "wb") as f:  # np.save(path) would append .npy
+            np.save(f, np.asarray(arr))  # forces completion
+        os.replace(tmp, self._path(stage))  # atomic: no torn files
+
+
 def rsvd_streaming(
     a_host,
     k: int,
@@ -277,6 +331,7 @@ def rsvd_streaming(
     phase_times: Optional[dict] = None,
     panel_dtype: Optional[str] = None,
     finish: str = "project",
+    checkpoint_dir: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-k rSVD of a host-resident (or implicit) matrix streamed
     through the device.
@@ -290,7 +345,11 @@ def rsvd_streaming(
     C = A Z_q directly — **2q+1 streamed passes instead of 2q+2**, i.e.
     one fewer full read of A through the host link, at a half power
     iteration of subspace quality (rsvd.driver.rsvd_with_omega
-    docstring).  Returns (U, s, V) on device (m x k, k, n x k).
+    docstring).  ``checkpoint_dir`` enables pass-level resume: each
+    completed streamed pass persists its basis, so a killed run (real
+    out-of-core passes are minutes to hours) restarts from the last
+    finished pass; checkpoints from different parameters are ignored.
+    Returns (U, s, V) on device (m x k, k, n x k).
     """
     method = SVDMethod.parse(method)
     prec = _PRECISIONS.get(precision, precision)
@@ -302,19 +361,35 @@ def rsvd_streaming(
         raise ValueError(f"unknown finish {finish!r}")
     if finish == "rowspace" and q < 1:
         raise ValueError("finish='rowspace' needs q >= 1")
+    ckpt = None
+    if checkpoint_dir is not None:
+        ckpt = _StreamCheckpoint(checkpoint_dir, {
+            "m": m, "n": n, "k": k, "p": p, "q": q, "seed": seed,
+            "dtype": jnp.dtype(dtype).name, "precision": precision,
+            "panel_dtype": panel_dtype, "finish": finish,
+            "method": method.value,
+        })
 
     key = key_from_seed(seed)
     omega = jax.random.normal(key, (n, l), dtype)
 
     clock = _PhaseClock(phase_times)
     # stage A: Y = A Omega, Q = qr(Y), q power refinements
-    y = _stream_right_multiply(a_host, omega, panel_rows, dtype, prec,
-                               panel_dtype)
-    clock.mark("sketch", y)
-    q_mat, _ = _jit_qr(y, "robust")
-    clock.mark("qr", q_mat)
+    q_mat = ckpt.load("q0") if ckpt else None
+    if q_mat is None:
+        y = _stream_right_multiply(a_host, omega, panel_rows, dtype, prec,
+                                   panel_dtype)
+        clock.mark("sketch", y)
+        q_mat, _ = _jit_qr(y, "robust")
+        clock.mark("qr", q_mat)
+        if ckpt:
+            ckpt.save("q0", q_mat)
     rounds = q - 1 if finish == "rowspace" else q
-    for _ in range(rounds):
+    for i in range(rounds):
+        cached = ckpt.load(f"round{i}") if ckpt else None
+        if cached is not None:
+            q_mat = cached
+            continue
         z = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec,
                                     panel_dtype)
         clock.mark("power_zt", z)
@@ -325,18 +400,28 @@ def rsvd_streaming(
         clock.mark("power_y", y)
         q_mat, _ = _jit_qr(y, "robust")
         clock.mark("qr", q_mat)
+        if ckpt:
+            ckpt.save(f"round{i}", q_mat)
 
     if finish == "rowspace":
         # final half-round: Z = A^T Q (pass 2q), orth, C = A Z_q (pass
         # 2q+1), then factor C directly: A ~ C Z_q^T = U S (Z_q U_t)^T
-        z = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec,
-                                    panel_dtype)
-        clock.mark("power_zt", z)
-        z_q, _ = _jit_qr(z, "robust")
-        clock.mark("qr", z_q)
-        c = _stream_right_multiply(a_host, z_q, panel_rows, dtype, prec,
-                                   panel_dtype)
-        clock.mark("power_y", c)
+        z_q = ckpt.load("zq_final") if ckpt else None
+        if z_q is None:
+            z = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype,
+                                        prec, panel_dtype)
+            clock.mark("power_zt", z)
+            z_q, _ = _jit_qr(z, "robust")
+            clock.mark("qr", z_q)
+            if ckpt:
+                ckpt.save("zq_final", z_q)
+        c = ckpt.load("c_final") if ckpt else None
+        if c is None:
+            c = _stream_right_multiply(a_host, z_q, panel_rows, dtype, prec,
+                                       panel_dtype)
+            clock.mark("power_y", c)
+            if ckpt:
+                ckpt.save("c_final", c)
         # small_svd(c.T) gives c = v_small s u_t^T; _tail_svd's GEMM then
         # builds z_q @ u_t — which is our V, while v_small is our U
         v, s, u = _tail_svd(c.T, z_q, method.value)
@@ -344,9 +429,13 @@ def rsvd_streaming(
         return u[:, :k], s[:k], v[:, :k]
 
     # stage B: B = Q^T A  (l x n), streamed:  B = (A^T Q)^T
-    b = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec,
-                                panel_dtype).T
-    clock.mark("project", b)
+    b = ckpt.load("b_final") if ckpt else None
+    if b is None:
+        b = _stream_left_t_multiply(a_host, q_mat, panel_rows, dtype, prec,
+                                    panel_dtype).T
+        clock.mark("project", b)
+        if ckpt:
+            ckpt.save("b_final", b)
     u, s, v = _tail_svd(b, q_mat, method.value)
     clock.mark("tail", u, s, v)
     return u[:, :k], s[:k], v[:, :k]

@@ -186,3 +186,87 @@ def test_streaming_rowspace_finish(rng):
     np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-9)
     with pytest.raises(ValueError):
         rsvd_streaming(a, k=8, q=0, finish="rowspace")
+
+
+class TestStreamCheckpoint:
+    """Pass-level checkpoint/resume for the streamed driver: a killed
+    multi-hour out-of-core run must restart from the last finished pass,
+    never silently reuse stale state from different parameters."""
+
+    def _counting(self, monkeypatch):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import streaming as sm
+
+        calls = {"passes": 0}
+        orig_r, orig_l = sm._stream_right_multiply, sm._stream_left_t_multiply
+
+        def right(*a, **kw):
+            calls["passes"] += 1
+            return orig_r(*a, **kw)
+
+        def left(*a, **kw):
+            calls["passes"] += 1
+            return orig_l(*a, **kw)
+
+        monkeypatch.setattr(sm, "_stream_right_multiply", right)
+        monkeypatch.setattr(sm, "_stream_left_t_multiply", left)
+        return calls
+
+    def test_resume_skips_completed_passes(self, tmp_path, rng,
+                                           monkeypatch):
+        calls = self._counting(monkeypatch)
+        a = _lowrank(rng, 200, 150, 6).astype(np.float32)
+        ck = str(tmp_path / "ck")
+        u1, s1, v1 = rsvd_streaming(a, k=6, p=6, q=2, panel_rows=64,
+                                    checkpoint_dir=ck)
+        assert calls["passes"] == 6  # 2q+2
+        calls["passes"] = 0
+        u2, s2, v2 = rsvd_streaming(a, k=6, p=6, q=2, panel_rows=64,
+                                    checkpoint_dir=ck)
+        assert calls["passes"] == 0  # everything resumed
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+    def test_partial_state_resumes_midway(self, tmp_path, rng,
+                                          monkeypatch):
+        import os
+
+        calls = self._counting(monkeypatch)
+        a = _lowrank(rng, 180, 120, 5).astype(np.float32)
+        ck = str(tmp_path / "ck")
+        u1, s1, v1 = rsvd_streaming(a, k=5, p=5, q=2, panel_rows=50,
+                                    checkpoint_dir=ck)
+        # simulate a crash after round 0: drop everything later
+        for st in ("round1", "b_final"):
+            os.remove(os.path.join(ck, f"{st}.npy"))
+        calls["passes"] = 0
+        u2, s2, v2 = rsvd_streaming(a, k=5, p=5, q=2, panel_rows=50,
+                                    checkpoint_dir=ck)
+        assert calls["passes"] == 3  # round1 (2 passes) + projection
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-6)
+
+    def test_param_mismatch_invalidates(self, tmp_path, rng, monkeypatch):
+        calls = self._counting(monkeypatch)
+        a = _lowrank(rng, 150, 100, 4).astype(np.float32)
+        ck = str(tmp_path / "ck")
+        rsvd_streaming(a, k=4, p=4, q=1, panel_rows=50, checkpoint_dir=ck)
+        calls["passes"] = 0
+        # different seed: stale checkpoints must be wiped, not reused
+        u, s, v = rsvd_streaming(a, k=4, p=4, q=1, panel_rows=50, seed=9,
+                                 checkpoint_dir=ck)
+        assert calls["passes"] == 4  # full 2q+2 recompute
+        rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+        assert np.linalg.norm(rec - a) < 1e-3 * np.linalg.norm(a)
+
+    def test_rowspace_checkpoint(self, tmp_path, rng, monkeypatch):
+        calls = self._counting(monkeypatch)
+        a = _lowrank(rng, 160, 110, 4).astype(np.float32)
+        ck = str(tmp_path / "ck")
+        u1, s1, v1 = rsvd_streaming(a, k=4, p=4, q=2, panel_rows=40,
+                                    finish="rowspace", checkpoint_dir=ck)
+        assert calls["passes"] == 5  # 2q+1
+        calls["passes"] = 0
+        u2, s2, v2 = rsvd_streaming(a, k=4, p=4, q=2, panel_rows=40,
+                                    finish="rowspace", checkpoint_dir=ck)
+        assert calls["passes"] == 0
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
