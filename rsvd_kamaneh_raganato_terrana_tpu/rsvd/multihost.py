@@ -69,6 +69,24 @@ def _sum_over_procs(mesh: Mesh):
     return jax.jit(lambda t: jnp.sum(t, axis=0), out_shardings=rep)
 
 
+@lru_cache(maxsize=4)
+def _min_over_procs(mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    return jax.jit(lambda t: jnp.min(t, axis=0), out_shardings=rep)
+
+
+def _global_min_scalar(x: int) -> int:
+    """MIN of a per-process integer over all processes (collective —
+    every process must call it; identity on single-process runs)."""
+    if jax.process_count() == 1:
+        return int(x)
+    mesh = _procs_mesh()
+    glob = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("procs")),
+        np.asarray([[float(x)]], np.float64))
+    return int(np.asarray(_min_over_procs(mesh)(glob))[0])
+
+
 def _global_sum(x_local) -> np.ndarray:
     """Sum an identically-shaped per-process array over all processes.
 
@@ -141,6 +159,7 @@ def rsvd_streaming_multihost(
     precision: str | jax.lax.Precision = "highest",
     panel_dtype: Optional[str] = None,
     finish: str = "project",
+    checkpoint_dir: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-k rSVD of a matrix whose row shards live one-per-host.
 
@@ -156,6 +175,12 @@ def rsvd_streaming_multihost(
     factors C = A Z_q directly: one fewer streamed pass per host AND one
     fewer cross-host all-reduce (the projection's n x l sum) — every
     process must pass the same value (it changes the collective order).
+    ``checkpoint_dir`` enables pass-level resume: each host persists its
+    per-stage state (under a process-indexed subdirectory — a shared
+    filesystem is fine), and on restart the fleet agrees on the MINIMUM
+    completed stage across hosts with one small all-reduce, so every
+    process replays the same collective sequence (hosts that crashed
+    later simply recompute their extra stages).
 
     Single-process runs degrade to :func:`rsvd.streaming.rsvd_streaming`
     semantics (same passes, CholeskyQR2 basis).
@@ -178,32 +203,89 @@ def rsvd_streaming_multihost(
     if finish == "rowspace" and q < 1:
         raise ValueError("finish='rowspace' needs q >= 1")
 
-    y_local = _stream_right_multiply(a_local, omega, panel_rows, dtype, prec,
-                                     panel_dtype)
-    q_local = _cholqr2_distributed(y_local, m_global)
     rounds = q - 1 if finish == "rowspace" else q
-    for _ in range(rounds):
+    stages = (["q0"] + [f"round{i}" for i in range(rounds)]
+              + (["zq_final", "c_final"] if finish == "rowspace"
+                 else ["b_final"]))
+    ckpt = None
+    done = 0
+    if checkpoint_dir is not None:
+        import os
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
+            _StreamCheckpoint,
+        )
+
+        ckpt = _StreamCheckpoint(
+            os.path.join(checkpoint_dir, f"host{jax.process_index()}"),
+            {"m_global": m_global, "m_local": m_local, "n": n, "k": k,
+             "p": p, "q": q, "seed": seed,
+             "dtype": jnp.dtype(dtype).name, "precision": precision,
+             "panel_dtype": panel_dtype, "finish": finish,
+             "method": method.value,
+             "procs": jax.process_count()})
+        local_done = 0
+        for st in stages:
+            if not ckpt.has(st):
+                break
+            local_done += 1
+        # resume from the MINIMUM completed stage across hosts: every
+        # process must replay the identical collective sequence, so a
+        # host that crashed later recomputes its extra stages (cheap:
+        # those loads are local, the recompute is shared anyway)
+        done = _global_min_scalar(local_done)
+
+    if done > 0:
+        q_local = ckpt.load("q0")
+    else:
+        y_local = _stream_right_multiply(a_local, omega, panel_rows, dtype,
+                                         prec, panel_dtype)
+        q_local = _cholqr2_distributed(y_local, m_global)
+        if ckpt:
+            ckpt.save("q0", q_local)
+    for i in range(rounds):
+        if 1 + i < done:
+            q_local = ckpt.load(f"round{i}")
+            continue
         z = _global_sum(_stream_left_t_multiply(
             a_local, q_local, panel_rows, dtype, prec, panel_dtype))
         z_q, _ = _jit_qr(jnp.asarray(z, dtype), "robust")  # replicated
         y_local = _stream_right_multiply(a_local, z_q, panel_rows, dtype,
                                          prec, panel_dtype)
         q_local = _cholqr2_distributed(y_local, m_global)
+        if ckpt:
+            ckpt.save(f"round{i}", q_local)
 
     if finish == "rowspace":
         # final half-round: one all-reduced co-range block, replicated QR,
         # then the LAST streamed pass C = A Z_q; the l x l Gram of the
         # row-sharded C is the only remaining collective.
-        z = _global_sum(_stream_left_t_multiply(
-            a_local, q_local, panel_rows, dtype, prec, panel_dtype))
-        z_q, _ = _jit_qr(jnp.asarray(z, dtype), "robust")  # replicated
-        c_local = _stream_right_multiply(a_local, z_q, panel_rows, dtype,
-                                         prec, panel_dtype)
+        if 1 + rounds < done:
+            z_q = ckpt.load("zq_final")
+        else:
+            z = _global_sum(_stream_left_t_multiply(
+                a_local, q_local, panel_rows, dtype, prec, panel_dtype))
+            z_q, _ = _jit_qr(jnp.asarray(z, dtype), "robust")  # replicated
+            if ckpt:
+                ckpt.save("zq_final", z_q)
+        if 2 + rounds < done:
+            c_local = ckpt.load("c_final")
+        else:
+            c_local = _stream_right_multiply(a_local, z_q, panel_rows,
+                                             dtype, prec, panel_dtype)
+            if ckpt:
+                ckpt.save("c_final", c_local)
         g = jnp.asarray(_global_sum(_jit_gram(c_local)), dtype)  # l x l
         u_local, s, v = _rowspace_tail(c_local, g, z_q)
         return u_local[:, :k], s[:k], v[:, :k]
 
-    b = jnp.asarray(_global_sum(_stream_left_t_multiply(
-        a_local, q_local, panel_rows, dtype, prec, panel_dtype)), dtype).T
+    if 1 + rounds < done:
+        b = ckpt.load("b_final")
+    else:
+        b = jnp.asarray(_global_sum(_stream_left_t_multiply(
+            a_local, q_local, panel_rows, dtype, prec, panel_dtype)),
+            dtype).T
+        if ckpt:
+            ckpt.save("b_final", b)
     u_local, s, v = _tail_svd(b, q_local, method.value)
     return u_local[:, :k], s[:k], v[:, :k]

@@ -301,6 +301,11 @@ class _StreamCheckpoint:
 
         return os.path.join(self._dir, f"{stage}.npy")
 
+    def has(self, stage: str) -> bool:
+        import os
+
+        return os.path.exists(self._path(stage))
+
     def load(self, stage: str):
         import os
 

@@ -96,3 +96,51 @@ def test_single_process_rowspace_matches_project(rng):
 
     with pytest.raises(ValueError):
         rsvd_streaming_multihost(a, k=8, q=0, finish="rowspace")
+
+
+def test_multihost_checkpoint_resume(tmp_path, rng, monkeypatch):
+    """Single-process exercise of the multihost checkpoint protocol:
+    full resume recomputes nothing; deleting a later stage resumes from
+    the global minimum completed stage."""
+    import os
+
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd import multihost as mh
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd import streaming as sm
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.multihost import (
+        rsvd_streaming_multihost,
+    )
+
+    calls = {"passes": 0}
+    orig_r = sm._stream_right_multiply
+    orig_l = sm._stream_left_t_multiply
+
+    def right(*a, **kw):
+        calls["passes"] += 1
+        return orig_r(*a, **kw)
+
+    def left(*a, **kw):
+        calls["passes"] += 1
+        return orig_l(*a, **kw)
+
+    monkeypatch.setattr(mh, "_stream_right_multiply", right)
+    monkeypatch.setattr(mh, "_stream_left_t_multiply", left)
+
+    a = (rng.standard_normal((200, 5)) @ rng.standard_normal((5, 130))
+         ).astype(np.float32)
+    ck = str(tmp_path / "mh")
+    u1, s1, v1 = rsvd_streaming_multihost(a, k=5, p=5, q=2, panel_rows=64,
+                                          checkpoint_dir=ck)
+    assert calls["passes"] == 6
+    calls["passes"] = 0
+    u2, s2, v2 = rsvd_streaming_multihost(a, k=5, p=5, q=2, panel_rows=64,
+                                          checkpoint_dir=ck)
+    assert calls["passes"] == 0
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    # crash between round1 and the projection: resume replays only those
+    os.remove(os.path.join(ck, "host0", "round1.npy"))
+    os.remove(os.path.join(ck, "host0", "b_final.npy"))
+    calls["passes"] = 0
+    u3, s3, v3 = rsvd_streaming_multihost(a, k=5, p=5, q=2, panel_rows=64,
+                                          checkpoint_dir=ck)
+    assert calls["passes"] == 3
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s1), rtol=1e-6)
