@@ -161,6 +161,33 @@ def main():
     rel_r2 = np.linalg.norm(my_rows - rec_r2) / np.linalg.norm(my_rows)
     assert rel_r2 < 0.06, f"rowspace shard reconstruction {rel_r2}"
 
+    # checkpoint/resume across REAL processes: after a full checkpointed
+    # run, delete a mid-run stage on ONE host only — both processes must
+    # agree (collective min) to resume from the same stage, or the
+    # collective sequences diverge and this deadlocks (caught by the
+    # launcher's timeout)
+    import shutil
+
+    ckdir = os.path.join(tempfile.gettempdir(),
+                         "mh_ck_" + coord.replace(":", "_").replace(".", "_"))
+    if pid == 0:
+        shutil.rmtree(ckdir, ignore_errors=True)
+    # both processes must see a clean dir before the checkpointed run:
+    # reuse a cheap collective as a barrier (sums are synchronizing)
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.multihost import _global_sum
+
+    _global_sum(np.zeros(1))
+    u_c1, s_c1, _ = rsvd_streaming_multihost(
+        my_rows, k=k, p=8, q=2, panel_rows=64, checkpoint_dir=ckdir)
+    if pid == 1:  # skew: host1 loses its round-1 state, host0 keeps all
+        os.remove(os.path.join(ckdir, "host1", "round1.npy"))
+        os.remove(os.path.join(ckdir, "host1", "b_final.npy"))
+    _global_sum(np.zeros(1))  # barrier: deletions visible before resume
+    u_c2, s_c2, _ = rsvd_streaming_multihost(
+        my_rows, k=k, p=8, q=2, panel_rows=64, checkpoint_dir=ckdir)
+    np.testing.assert_allclose(np.asarray(s_c2), np.asarray(s_c1),
+                               rtol=1e-5)
+
     print(f"worker {pid}: ok mesh={mesh.devices.shape} "
           f"collectives={found} s0={s_local[0]:.4f} "
           f"ring_s0={s_ring[0]:.4f} stream_s0={s_mh[0]:.4f} "
