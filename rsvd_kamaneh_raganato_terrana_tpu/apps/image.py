@@ -63,6 +63,9 @@ class Image:
         self._normalized = False
         self.U = self.S = self.V = None
         self.tile_factors: Optional[TileFactors] = None
+        # device layout of the last tiled run's factor batch (diagnostic:
+        # the multichip dryrun asserts the tile axis really partitioned)
+        self.last_tile_sharding = None
 
     # -- I/O ------------------------------------------------------------
     @classmethod
@@ -143,9 +146,12 @@ class Image:
             # per matrix than XLA's batched small-factorization kernels
             # on one device (rsvd_batched mode='scan' rationale), and the
             # robust QR works under scan (a lax.cond under vmap would run
-            # both branches).
-            u, s, v = jax.jit(lambda ts: jax.lax.map(
-                lambda t: rsvd_with_omega(t, omega, q=q, k=k), ts))(chans)
+            # both branches).  omega is a jit ARGUMENT, not a closure —
+            # closed-over device arrays serialize into the program
+            # shipped to the (possibly remote) compiler.
+            u, s, v = jax.jit(lambda ts, om: jax.lax.map(
+                lambda t: rsvd_with_omega(t, om, q=q, k=k), ts))(
+                    chans, omega)
             self.U, self.S, self.V = (np.asarray(u), np.asarray(s),
                                       np.asarray(v))
         else:
@@ -221,6 +227,7 @@ class Image:
                 (ts, oms))
 
         u, s, v = run(tiles_dev, omegas)
+        self.last_tile_sharding = getattr(u, "sharding", None)
         self.tile_factors = TileFactors(
             np.asarray(u), np.asarray(s), np.asarray(v), (gy, gx), (m, n)
         )

@@ -77,14 +77,25 @@ def _mm(a, b, precision=DOT_PRECISION):
         # role): sparse-dense product, precision flags don't apply
         return a @ b
     if a.dtype != b.dtype:
-        # mixed-storage GEMM (bf16 A x f32 small operand): round the
-        # SMALL operand down to the narrow dtype and accumulate in the
-        # wide one — never widen the big operand (that would re-read it
-        # at full width, defeating bf16 storage)
         lo, out = ((a.dtype, b.dtype) if jnp.dtype(a.dtype).itemsize
                    < jnp.dtype(b.dtype).itemsize else (b.dtype, a.dtype))
-        return jnp.matmul(a.astype(lo), b.astype(lo), precision=precision,
-                          preferred_element_type=out)
+        if lo == jnp.bfloat16:
+            # mixed-storage GEMM (bf16 A x f32 small operand — the only
+            # mix the bf16 storage mode creates): round the SMALL
+            # operand down to bf16 and accumulate in the wide dtype —
+            # never widen the big operand (that would re-read it at full
+            # width, defeating bf16 storage)
+            return jnp.matmul(a.astype(lo), b.astype(lo),
+                              precision=precision,
+                              preferred_element_type=out)
+        # any other mismatch (e.g. an accidental f64 x f32 from an x64
+        # science CLI) keeps numpy promotion semantics — silently
+        # narrowing f64 would be a precision downgrade the caller never
+        # asked for
+        wide = jnp.promote_types(a.dtype, b.dtype)
+        return jnp.matmul(a.astype(wide), b.astype(wide),
+                          precision=precision,
+                          preferred_element_type=wide)
     return jnp.matmul(a, b, precision=precision,
                       preferred_element_type=a.dtype)
 

@@ -132,7 +132,10 @@ def _rowspace_tail(c_local, g, z_q):
     V = Z_q W.  Columns whose Gram eigenvalue sits below the eps*lam_max
     noise floor (s below sqrt(eps)*s0 — the Gram squares the spectrum)
     are zeroed instead of normalizing noise, the Jacobi engines'
-    convention."""
+    convention.  The floor is scale-FREE (relative to lam_max, like
+    incremental.py's cutoff): an absolute term would silently zero
+    genuine directions whenever ||C|| < 1 (normalized data); only a
+    finfo.tiny guard protects the all-zero-matrix corner."""
     dtype = c_local.dtype
     lam, w = jnp.linalg.eigh(g)          # ascending
     lam = jnp.maximum(lam[::-1], 0.0)
@@ -141,7 +144,8 @@ def _rowspace_tail(c_local, g, z_q):
     safe = jnp.maximum(s, jnp.finfo(dtype).tiny)
     u_local = jnp.matmul(c_local, w / safe[None, :],
                          precision=jax.lax.Precision.HIGHEST)
-    live = lam > (jnp.finfo(dtype).eps * jnp.maximum(lam[0], 1.0))
+    live = lam > jnp.maximum(jnp.finfo(dtype).eps * lam[0],
+                             jnp.finfo(dtype).tiny)
     u_local = jnp.where(live[None, :], u_local, 0.0)
     v = jnp.matmul(z_q, w, precision=jax.lax.Precision.HIGHEST)
     return u_local, s, v
@@ -180,7 +184,12 @@ def rsvd_streaming_multihost(
     filesystem is fine), and on restart the fleet agrees on the MINIMUM
     completed stage across hosts with one small all-reduce, so every
     process replays the same collective sequence (hosts that crashed
-    later simply recompute their extra stages).
+    later simply recompute their extra stages).  The stage-agreement
+    all-reduce runs UNCONDITIONALLY on every multi-process run, so hosts
+    that disagree on ``checkpoint_dir`` (some None, some set, some with
+    an unreadable path) cannot desynchronize the collective order — a
+    host without checkpoints simply reports stage 0 and the fleet
+    restarts from the top.
 
     Single-process runs degrade to :func:`rsvd.streaming.rsvd_streaming`
     semantics (same passes, CholeskyQR2 basis).
@@ -208,32 +217,45 @@ def rsvd_streaming_multihost(
               + (["zq_final", "c_final"] if finish == "rowspace"
                  else ["b_final"]))
     ckpt = None
-    done = 0
+    local_done = 0
     if checkpoint_dir is not None:
         import os
 
         from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
+            _data_fingerprint,
             _StreamCheckpoint,
         )
 
-        ckpt = _StreamCheckpoint(
-            os.path.join(checkpoint_dir, f"host{jax.process_index()}"),
-            {"m_global": m_global, "m_local": m_local, "n": n, "k": k,
-             "p": p, "q": q, "seed": seed,
-             "dtype": jnp.dtype(dtype).name, "precision": precision,
-             "panel_dtype": panel_dtype, "finish": finish,
-             "method": method.value,
-             "procs": jax.process_count()})
-        local_done = 0
-        for st in stages:
-            if not ckpt.has(st):
-                break
-            local_done += 1
-        # resume from the MINIMUM completed stage across hosts: every
-        # process must replay the identical collective sequence, so a
-        # host that crashed later recomputes its extra stages (cheap:
-        # those loads are local, the recompute is shared anyway)
-        done = _global_min_scalar(local_done)
+        try:
+            ckpt = _StreamCheckpoint(
+                os.path.join(checkpoint_dir, f"host{jax.process_index()}"),
+                {"m_global": m_global, "m_local": m_local, "n": n, "k": k,
+                 "p": p, "q": q, "seed": seed,
+                 "dtype": jnp.dtype(dtype).name, "precision": precision,
+                 "panel_dtype": panel_dtype, "finish": finish,
+                 "method": method.value,
+                 "data": _data_fingerprint(a_local),
+                 "procs": jax.process_count()})
+        except OSError:
+            # unwritable checkpoint path must not desynchronize the
+            # fleet's collective order: degrade to no-checkpoint and
+            # report stage 0 to the all-reduce below
+            ckpt = None
+        if ckpt is not None:
+            for st in stages:
+                if not ckpt.has(st):
+                    break
+                local_done += 1
+    # resume from the MINIMUM completed stage across hosts: every
+    # process must replay the identical collective sequence, so a host
+    # that crashed later recomputes its extra stages (cheap: those loads
+    # are local, the recompute is shared anyway).  UNCONDITIONAL on
+    # multi-process runs (identity on one) — hosts that disagree on
+    # checkpoint_dir still agree on the collective schedule.
+    done = _global_min_scalar(local_done) if jax.process_count() > 1 \
+        else local_done
+    if ckpt is None:
+        done = 0
 
     if done > 0:
         q_local = ckpt.load("q0")

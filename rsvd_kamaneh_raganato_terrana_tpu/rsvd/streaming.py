@@ -264,14 +264,47 @@ class _PhaseClock:
         self._t = now
 
 
+def _data_fingerprint(a_host) -> str:
+    """Cheap identity fingerprint of the input matrix, stored in the
+    checkpoint meta so re-running identical hyperparameters on DIFFERENT
+    data at the same ``checkpoint_dir`` invalidates the stale factors
+    instead of silently resuming a factorization of the old matrix.
+
+    memmaps are identified by (path, size, mtime) — O(1), no read.
+    In-memory / implicit matrices hash a fixed deterministic sample of
+    entries (3 rows, <=64 strided entries each): O(1) work against any
+    streamed pass, and any same-shape data swap that matters numerically
+    perturbs sampled entries with overwhelming probability."""
+    import hashlib
+    import os
+
+    m, n = a_host.shape
+    fname = getattr(a_host, "filename", None)
+    if isinstance(a_host, np.memmap) and fname:
+        st = os.stat(fname)
+        return (f"memmap:{os.path.abspath(fname)}"
+                f":{st.st_size}:{st.st_mtime_ns}")
+    h = hashlib.sha1(f"{m}x{n}".encode())
+    step = max(1, n // 64)
+    for i in sorted({0, m // 2, m - 1}):
+        if hasattr(a_host, "panel"):          # SynthesizedMatrix protocol
+            row = a_host.panel(i, 1)
+        else:
+            row = a_host[i:i + 1]
+        row = np.asarray(row, np.float64)[0, ::step][:64]
+        h.update(row.tobytes())
+    return "sample:" + h.hexdigest()
+
+
 class _StreamCheckpoint:
     """Pass-level checkpointing for the streamed driver: each completed
     streamed pass saves its (small) result array, so a killed multi-hour
     out-of-core run resumes from the last finished pass instead of
-    re-reading A from the start.  Stale checkpoints (any parameter
-    mismatch) are ignored and overwritten; only l-sized factors are
-    stored (the m x l basis at 100k x 144 is ~57 MB — pennies next to a
-    re-streamed 40 GB pass)."""
+    re-reading A from the start.  Stale checkpoints (any parameter OR
+    input-data fingerprint mismatch, :func:`_data_fingerprint`) are
+    ignored and overwritten; only l-sized factors are stored (the m x l
+    basis at 100k x 144 is ~57 MB — pennies next to a re-streamed 40 GB
+    pass)."""
 
     def __init__(self, directory: str, meta: dict):
         import json
@@ -373,6 +406,7 @@ def rsvd_streaming(
             "dtype": jnp.dtype(dtype).name, "precision": precision,
             "panel_dtype": panel_dtype, "finish": finish,
             "method": method.value,
+            "data": _data_fingerprint(a_host),
         })
 
     key = key_from_seed(seed)

@@ -98,6 +98,27 @@ def test_single_process_rowspace_matches_project(rng):
         rsvd_streaming_multihost(a, k=8, q=0, finish="rowspace")
 
 
+def test_rowspace_small_norm_keeps_directions(rng):
+    """The rowspace tail's rank cutoff must be scale-FREE: on data with
+    ||A|| << 1 (normalized inputs) an absolute eps floor would zero
+    genuine small singular directions (advisor finding, round 3).  Every
+    true direction here sits well above eps*lam_max but far below an
+    absolute f32-eps floor."""
+    svals = np.array([1e-2, 5e-3, 1e-3, 1e-4], np.float32)
+    qm, _ = np.linalg.qr(rng.standard_normal((180, 4)))
+    qn, _ = np.linalg.qr(rng.standard_normal((120, 4)))
+    a = (qm * svals[None, :]) @ qn.T
+    a = a.astype(np.float32)
+    u, s, v = rsvd_streaming_multihost(a, k=4, p=4, q=2, panel_rows=64,
+                                       finish="rowspace")
+    u_np, s_np = np.asarray(u), np.asarray(s)
+    np.testing.assert_allclose(s_np, svals, rtol=5e-2)
+    # all four directions kept and orthonormal — none zeroed by an
+    # absolute floor (s=1e-4 < sqrt(eps_f32) would have been dropped)
+    assert np.abs(u_np.T @ u_np - np.eye(4)).max() < 1e-3
+    assert np.linalg.norm(u_np, axis=0).min() > 0.99
+
+
 def test_multihost_checkpoint_resume(tmp_path, rng, monkeypatch):
     """Single-process exercise of the multihost checkpoint protocol:
     full resume recomputes nothing; deleting a later stage resumes from

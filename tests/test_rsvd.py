@@ -393,3 +393,28 @@ class TestBatched:
         u2, s2, v2 = rsvd_batched(a_sh, k=k, p=4, q=1, mode="vmap")
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-5)
+
+
+def test_mm_mixed_dtype_promotes_unless_bf16(rng):
+    """_mm's mixed-storage downcast is gated on the narrow operand being
+    bfloat16 (the only mix the bf16 storage mode creates).  Any other
+    mismatch — e.g. an accidental f64 x f32 from an x64 science CLI —
+    must keep numpy promotion semantics, not silently narrow the wide
+    operand (advisor finding, round 3)."""
+    import jax
+
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _mm
+
+    a64 = jnp.asarray(rng.standard_normal((16, 8)), jnp.float64)
+    b32 = jnp.asarray(rng.standard_normal((8, 4)), jnp.float32)
+    out = _mm(a64, b32)
+    assert out.dtype == jnp.float64
+    ref = np.asarray(a64, np.float64) @ np.asarray(b32, np.float64)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12)
+    # the bf16 storage mix still narrows the SMALL operand, wide accum
+    abf = a64.astype(jnp.bfloat16)
+    out_bf = _mm(abf, b32)
+    assert out_bf.dtype == jnp.float32
+    ref_bf = (np.asarray(abf, np.float32)
+              @ np.asarray(b32.astype(jnp.bfloat16), np.float32))
+    np.testing.assert_allclose(np.asarray(out_bf), ref_bf, rtol=1e-5)

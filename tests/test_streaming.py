@@ -258,6 +258,51 @@ class TestStreamCheckpoint:
         rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
         assert np.linalg.norm(rec - a) < 1e-3 * np.linalg.norm(a)
 
+    def test_data_mismatch_invalidates(self, tmp_path, rng, monkeypatch):
+        """Identical hyperparameters on DIFFERENT data must not resume
+        stale factors: the checkpoint meta fingerprints the input
+        (streaming._data_fingerprint)."""
+        calls = self._counting(monkeypatch)
+        a = _lowrank(rng, 150, 100, 4).astype(np.float32)
+        b = _lowrank(rng, 150, 100, 4).astype(np.float32)
+        ck = str(tmp_path / "ck")
+        rsvd_streaming(a, k=4, p=4, q=1, panel_rows=50, checkpoint_dir=ck)
+        calls["passes"] = 0
+        u, s, v = rsvd_streaming(b, k=4, p=4, q=1, panel_rows=50,
+                                 checkpoint_dir=ck)
+        assert calls["passes"] == 4  # stale factors of a wiped
+        rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+        assert np.linalg.norm(rec - b) < 1e-3 * np.linalg.norm(b)
+
+    def test_memmap_rewrite_invalidates(self, tmp_path, rng, monkeypatch):
+        """memmap inputs are fingerprinted by (path, size, mtime): an
+        in-place rewrite of the backing file invalidates checkpoints."""
+        import os
+        import time
+
+        calls = self._counting(monkeypatch)
+        path = tmp_path / "a.bin"
+        m, n = 150, 100
+        mm = np.memmap(path, dtype=np.float32, mode="w+", shape=(m, n))
+        mm[:] = _lowrank(rng, m, n, 4).astype(np.float32)
+        mm.flush()
+        ck = str(tmp_path / "ck")
+        ro = np.memmap(path, dtype=np.float32, mode="r", shape=(m, n))
+        rsvd_streaming(ro, k=4, p=4, q=1, panel_rows=50,
+                       checkpoint_dir=ck)
+        b = _lowrank(rng, m, n, 4).astype(np.float32)
+        mm[:] = b
+        mm.flush()
+        # coarse-mtime filesystems could alias a sub-tick rewrite
+        os.utime(path, ns=(time.time_ns(), time.time_ns() + 1))
+        calls["passes"] = 0
+        ro2 = np.memmap(path, dtype=np.float32, mode="r", shape=(m, n))
+        u, s, v = rsvd_streaming(ro2, k=4, p=4, q=1, panel_rows=50,
+                                 checkpoint_dir=ck)
+        assert calls["passes"] == 4
+        rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+        assert np.linalg.norm(rec - b) < 1e-3 * np.linalg.norm(b)
+
     def test_rowspace_checkpoint(self, tmp_path, rng, monkeypatch):
         calls = self._counting(monkeypatch)
         a = _lowrank(rng, 160, 110, 4).astype(np.float32)
