@@ -128,6 +128,8 @@ def main():
     if mode == "a":
         with open(args.out) as f:
             existing = f.readline().strip()
+            while existing.startswith("#"):  # provenance header comments
+                existing = f.readline().strip()
         if existing != ",".join(rows[0].keys()):
             raise SystemExit(
                 f"--append: {args.out} has a different column schema "

@@ -30,7 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed, sketch_matrix
-from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import orthonormal_basis
+from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import (
+    orthonormal_basis,
+    qr_reduced,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import SVDMethod, svd as small_svd
 from rsvd_kamaneh_raganato_terrana_tpu.ops.primitives import DOT_PRECISION
 
@@ -161,6 +164,27 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
       half power iteration behind 'project' (the row basis has seen one
       fewer application of A), indistinguishable on decaying spectra but
       measurably looser on flat ones — hence opt-in.
+    - ``'utv'`` (serving mode): same 2q+2 passes as 'project', but the
+      tail factors B = Q^T A by a thin QR of B^T (powerURV's end-game,
+      rsvd/utv.py; Gopal & Martinsson 2018) instead of the Gram
+      eigendecomposition: B = L V^T with L = R^T lower-triangular, then
+      the triangular middle folds into the diagonal contract as
+      A ~ (Q L / ||L_col||) diag(||L_col||) V^T.  All GEMMs + one
+      Cholesky — no eigh, so it dodges the depth-bound l x l eigh that
+      is ~44% of the small-size pipeline (docs/ARCHITECTURE.md
+      "small-op latency decomposition").  Honesty gates: at full rank l
+      the reconstruction is EXACTLY 'project''s Q B, but (a) the
+      returned s are the unit-u decomposition weights ||L_col||, NOT
+      singular values — the energy identity sum s^2 = sum sigma^2 is
+      exact, yet per-entry tracking needs strongly gapped spectra
+      (measured, q=2 f64: max rel error 0.27% at sigma ratio 0.3, 4.3%
+      at 0.4, 26% at 0.5 — tests/test_utv.py); (b) V is orthonormal
+      while U has exactly unit-norm columns that are orthogonal only to
+      O(offdiag(L)); and (c) rank-k truncation keeps the largest-weight
+      columns, which is near- but not SVD-optimal (reconstruction
+      within 1.2x of the eigh tail on decaying spectra, tested).  Use
+      for latency-critical SERVING of A_k; use 'project' when singular
+      values/vectors are the product.
     """
     from jax.experimental import sparse as jsparse
 
@@ -191,9 +215,23 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
         if k > 0:
             u, s, v = u[:, :k], s[:k], v[:, :k]
         return u, s, v
+    if finish == "utv":
+        q_mat = subspace_iteration(a_stage, omega, q, qr_method, prec,
+                                   reorth, interior_qr)     # m x l
+        b = _mm(q_mat.T, a_stage, prec)                     # l x n
+        v, r = qr_reduced(b.T, qr_method)                   # B^T = V R
+        el = r.T                                            # B = L V^T
+        s = jnp.linalg.norm(el.astype(jnp.float32), axis=0).astype(el.dtype)
+        safe = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+        u = _mm(q_mat, el / safe[None, :])                  # unit columns
+        order = jnp.argsort(-s)                             # weights are
+        u, s, v = u[:, order], s[order], v[:, order]        # near-sorted
+        if k > 0:
+            u, s, v = u[:, :k], s[:k], v[:, :k]
+        return u, s, v
     if finish != "project":
         raise ValueError(f"unknown finish {finish!r} "
-                         "(use 'project' or 'rowspace')")
+                         "(use 'project', 'rowspace' or 'utv')")
     q_mat = subspace_iteration(a_stage, omega, q, qr_method, prec, reorth,
                                interior_qr)  # m x l
     b = _mm(q_mat.T, a_stage, prec)                         # l x n (replicated)

@@ -92,3 +92,88 @@ class TestRutv:
 
         g = jax.grad(loss)(a)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestUtvFinish:
+    """rsvd(finish='utv'): the powerURV serving tail inside the driver
+    (docs/ARCHITECTURE.md small-op latency decomposition — it exists to
+    dodge the depth-bound l x l eigh at latency-critical small sizes)."""
+
+    def test_full_rank_reconstruction_matches_project(self):
+        """At full rank l the UTV tail reconstructs EXACTLY Q B — the
+        same projector approximation finish='project' factors."""
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+
+        a = jnp.asarray(_spectrum_matrix(
+            120, 90, np.geomspace(1, 1e-3, 90), seed=7))
+        u1, s1, v1 = rsvd(a, k=0, p=16, q=2, finish="utv")
+        u2, s2, v2 = rsvd(a, k=0, p=16, q=2, method="eigh",
+                          finish="project")
+        rec1 = np.asarray(u1) * np.asarray(s1)[None, :] @ np.asarray(v1).T
+        rec2 = np.asarray(u2) * np.asarray(s2)[None, :] @ np.asarray(v2).T
+        np.testing.assert_allclose(rec1, rec2, atol=1e-10)
+
+    def test_contract(self):
+        """V orthonormal; U unit-norm columns; s descending; the exact
+        energy identity sum s^2 = sum sigma(B)^2; and per-entry sigma
+        tracking on a strongly GAPPED spectrum (the documented regime:
+        measured max rel 0.27% at ratio 0.3, 26% at 0.5 — the weights
+        are decomposition weights, not singular values)."""
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+
+        n = 30
+        a = jnp.asarray(_spectrum_matrix(100, n, 0.3 ** np.arange(n),
+                                         seed=8))
+        k, p = 8, 6
+        u, s, v = rsvd(a, k=0, p=p + k, q=2, finish="utv")
+        u_np, s_np, v_np = map(np.asarray, (u, s, v))
+        l = k + p
+        assert u_np.shape == (100, l) and v_np.shape == (n, l)
+        np.testing.assert_allclose(v_np.T @ v_np, np.eye(l), atol=1e-9)
+        np.testing.assert_allclose(np.linalg.norm(u_np, axis=0),
+                                   np.ones(l), atol=1e-9)
+        assert np.all(np.diff(s_np) <= 1e-12)
+        s_true = np.linalg.svd(np.asarray(a), compute_uv=False)
+        # exact energy identity (range-finder floor at this gap is ~1e-9)
+        np.testing.assert_allclose(float((s_np ** 2).sum()),
+                                   float((s_true[:l] ** 2).sum()),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(s_np[:k], s_true[:k], rtol=1e-2)
+
+    def test_truncation_near_optimal(self):
+        """Rank-k truncation error within a small factor of the eigh
+        tail's (the documented serving trade)."""
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+            reconstruction_error,
+            rsvd,
+        )
+
+        a = jnp.asarray(_spectrum_matrix(
+            150, 100, np.geomspace(1, 1e-4, 100), seed=9))
+        k = 12
+        u, s, v = rsvd(a, k=k, p=10, q=2, finish="utv")
+        e_utv = float(reconstruction_error(a, u, s, v))
+        uu, ss, vv = rsvd(a, k=k, p=10, q=2, method="eigh")
+        e_svd = float(reconstruction_error(a, uu, ss, vv))
+        assert e_utv < 1.2 * e_svd + 1e-12
+
+    def test_batched_and_vmappable(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import rsvd_batched
+
+        rng = np.random.default_rng(10)
+        a = jnp.asarray(rng.standard_normal((3, 60, 40)), jnp.float32)
+        u, s, v = rsvd_batched(a, k=5, p=5, q=1, finish="utv")
+        assert u.shape == (3, 60, 5) and s.shape == (3, 5)
+        rec = np.einsum("bmk,bk,bnk->bmn", np.asarray(u), np.asarray(s),
+                        np.asarray(v))
+        # near-flat gaussian spectrum: just check finite + sane energy
+        assert np.isfinite(rec).all()
+
+    def test_unknown_finish_raises(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+
+        a = jnp.asarray(np.random.default_rng(11).standard_normal((20, 15)))
+        import pytest
+
+        with pytest.raises(ValueError):
+            rsvd(a, k=4, finish="nope")
