@@ -68,19 +68,27 @@ def migrate_csv(path, fields, renames=None):
     """If an existing CSV's header differs from ``fields``, rewrite it in
     place under the new schema (renamed columns copied via ``renames``
     {new: old}, missing columns blanked) so appends never produce
-    misaligned rows.  No-op when the file is absent or already current."""
+    misaligned rows.  Leading ``#`` provenance-comment lines are skipped
+    when locating the header and preserved on rewrite.  No-op when the
+    file is absent or already current."""
     import csv
+    import io
     import os
 
     if not os.path.exists(path):
         return
     renames = renames or {}
     with open(path, newline="") as f:
-        rd = csv.DictReader(f)
-        if rd.fieldnames == fields:
-            return
-        old = list(rd)
+        lines = f.readlines()
+    n_comments = 0
+    while n_comments < len(lines) and lines[n_comments].startswith("#"):
+        n_comments += 1
+    rd = csv.DictReader(io.StringIO("".join(lines[n_comments:])))
+    if rd.fieldnames == fields:
+        return
+    old = list(rd)
     with open(path, "w", newline="") as g:
+        g.writelines(lines[:n_comments])
         w = csv.DictWriter(g, fieldnames=fields, extrasaction="ignore")
         w.writeheader()
         for r in old:

@@ -102,6 +102,52 @@ def hodlr_bytes_mb(h):
     return total * 4 / 1e6
 
 
+def mv_looped_ms(mv, operands, x1, x2, reps=3):
+    """ON-DEVICE per-matvec ms: the matvec iterated inside one jitted
+    fori_loop with a normalize between iterations (a data-dependent
+    carry, so nothing folds), timed at two rep counts — the bench.py
+    ground-truth protocol.  Sub-ms matvecs are far below the relay's
+    +-1 ms RTT jitter, so the dispatch-chain clock cannot resolve them
+    (the first run of this sweep measured a literal 0.0 for the 8192
+    HODLR matvec).  Operands are jit ARGUMENTS (CLAUDE.md: a closed-over
+    device array serializes into the program shipped to the remote
+    compiler); inputs alternate across timed calls (dedup defense)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    def make(r):
+        @jax.jit
+        def run(ops, x):
+            def body(i, xc):
+                y = mv(ops, xc)
+                return y / jnp.linalg.norm(y)
+
+            return jax.lax.fori_loop(0, r, body, x)
+
+        return run
+
+    def timed(fn, x):
+        t0 = time.perf_counter()
+        out = fn(operands, x)
+        np.asarray(jax.device_get(out[:1]))
+        return time.perf_counter() - t0
+
+    # escalate the rep spread until the delta clears the relay's +-1 ms
+    # RTT jitter by >= 5x — a 10-20 us matvec needs thousands of in-loop
+    # reps before its slope is resolvable (the 8:64 spread measured a
+    # literal 0.0 for the 4096 k=16 HODLR matvec)
+    for r_small, r_large in ((8, 64), (64, 512), (512, 4096)):
+        f_s, f_l = make(r_small), make(r_large)
+        timed(f_s, x1), timed(f_l, x1)  # compile + warm
+        t_s = min(timed(f_s, (x1, x2)[i % 2]) for i in range(reps))
+        t_l = min(timed(f_l, (x2, x1)[i % 2]) for i in range(reps))
+        if t_l - t_s > 5e-3:
+            break
+    return max((t_l - t_s) / (r_large - r_small), 1e-9) * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="4096,8192,16384,32768,65536")
@@ -121,10 +167,6 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
-    @jax.jit
-    def dense_mv(a, x):
-        return a @ x
-
     for n in [int(s) for s in args.sizes.split(",")]:
         levels = int(np.log2(n // LEAF))
         key = jax.random.PRNGKey(n)
@@ -135,9 +177,8 @@ def main():
         dense_mb = n * n * 4 / 1e6
         if n <= args.dense_max:
             a = jax.random.normal(key, (n, n), jnp.float32)
-            per = chain_delta(dense_mv, [(a, x1), (a, x2)],
-                              n_small=4, n_large=32)
-            dense_ms = round(per * 1e3, 4)
+            dense_ms = round(mv_looped_ms(
+                lambda aa, xx: aa @ xx, a, x1, x2), 4)
             append_row({"op": "dense_matvec", "n": n, "levels": "",
                         "k": "", "leaf": "", "ms": dense_ms,
                         "dense_ms": "", "speedup": "",
@@ -156,11 +197,10 @@ def main():
         for k in [int(s) for s in args.ks.split(",")]:
             h = synth_hodlr(n, levels, k, key)
             mb = hodlr_bytes_mb(h)
-            per = chain_delta(lambda xx: hodlr_matvec(h, xx),
-                              [(x1,), (x2,)], n_small=4, n_large=32)
-            ms = round(per * 1e3, 4)
+            ms = round(mv_looped_ms(
+                lambda hh, xx: hodlr_matvec(hh, xx), h, x1, x2), 4)
             speedup = (round(dense_ms / ms, 2)
-                       if dense_ms != "" else "")
+                       if dense_ms != "" and ms > 0 else "")
             append_row({"op": "hodlr_matvec", "n": n, "levels": levels,
                         "k": k, "leaf": LEAF, "ms": ms,
                         "dense_ms": dense_ms, "speedup": speedup,
