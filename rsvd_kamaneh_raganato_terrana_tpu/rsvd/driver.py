@@ -185,6 +185,13 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
       within 1.2x of the eigh tail on decaying spectra, tested).  Use
       for latency-critical SERVING of A_k; use 'project' when singular
       values/vectors are the product.
+    - ``'rowspace_utv'`` (q >= 1): both serving levers composed — the
+      2q+1-pass rowspace stage A ending in C = A Z_q, factored by one
+      thin QR of C (no eigh): A ~ (Q_c T/||T_col||) diag(||T_col||)
+      Z_q^T.  Same weight/unit-column contract as 'utv', plus
+      rowspace's half-iteration-weaker subspace; the fastest serving
+      configuration at depth-bound sizes (measured in
+      bench_results/scale_ondevice.csv).
     """
     from jax.experimental import sparse as jsparse
 
@@ -195,9 +202,9 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
         # one cast, then every stage-A pass reads bf16 (half/quarter the
         # HBM bytes); _mm keeps f32 accumulation via preferred_element_type
         a_stage = a.astype(jnp.bfloat16)
-    if finish == "rowspace":
+    if finish in ("rowspace", "rowspace_utv"):
         if q < 1:
-            raise ValueError("finish='rowspace' needs q >= 1 (its final "
+            raise ValueError(f"finish={finish!r} needs q >= 1 (its final "
                              "half-round IS a power iteration)")
         inner = qr_method if interior_qr is None else interior_qr
         y = _mm(a_stage, omega, prec)
@@ -209,9 +216,22 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
         z = _mm(a_stage.T, q_mat, prec)                 # n x l co-range
         z_q = orthonormal_basis(z, qr_method)           # final (full) QR
         c = _mm(a_stage, z_q, prec)                     # m x l: LAST pass
-        u_t, s, v_small = small_svd(c.T, method)        # c = v_small s u_t^T
-        u = v_small
-        v = _mm(z_q, u_t)
+        if finish == "rowspace_utv":
+            # serving tail on 2q+1 passes: QR of C instead of the Gram
+            # eigh — A ~ Q_c T Z_q^T folds to (Q_c T/||T_col||)
+            # diag(||T_col||) Z_q^T.  Same honesty gates as 'utv' (s are
+            # weights, U unit-column), one fewer pass over A than it.
+            q_c, t = qr_reduced(c, qr_method)
+            s = jnp.linalg.norm(t.astype(jnp.float32),
+                                axis=0).astype(t.dtype)
+            safe = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+            u = _mm(q_c, t / safe[None, :])
+            order = jnp.argsort(-s)
+            u, s, v = u[:, order], s[order], z_q[:, order]
+        else:
+            u_t, s, v_small = small_svd(c.T, method)    # c = v_small s u_t^T
+            u = v_small
+            v = _mm(z_q, u_t)
         if k > 0:
             u, s, v = u[:, :k], s[:k], v[:, :k]
         return u, s, v
@@ -230,8 +250,8 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
             u, s, v = u[:, :k], s[:k], v[:, :k]
         return u, s, v
     if finish != "project":
-        raise ValueError(f"unknown finish {finish!r} "
-                         "(use 'project', 'rowspace' or 'utv')")
+        raise ValueError(f"unknown finish {finish!r} (use 'project', "
+                         "'rowspace', 'utv' or 'rowspace_utv')")
     q_mat = subspace_iteration(a_stage, omega, q, qr_method, prec, reorth,
                                interior_qr)  # m x l
     b = _mm(q_mat.T, a_stage, prec)                         # l x n (replicated)

@@ -177,3 +177,50 @@ class TestUtvFinish:
 
         with pytest.raises(ValueError):
             rsvd(a, k=4, finish="nope")
+
+
+class TestRowspaceUtvFinish:
+    """finish='rowspace_utv': both serving levers composed (2q+1 passes
+    + QR tail).  Same weight/unit-column contract as 'utv'."""
+
+    def test_reconstruction_and_contract(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+            reconstruction_error,
+            rsvd,
+        )
+
+        a = jnp.asarray(_spectrum_matrix(
+            150, 100, np.geomspace(1, 1e-4, 100), seed=12))
+        k = 12
+        u, s, v = rsvd(a, k=k, p=10, q=2, finish="rowspace_utv")
+        u_np, s_np, v_np = map(np.asarray, (u, s, v))
+        np.testing.assert_allclose(v_np.T @ v_np, np.eye(k), atol=1e-9)
+        np.testing.assert_allclose(np.linalg.norm(u_np, axis=0),
+                                   np.ones(k), atol=1e-9)
+        assert np.all(np.diff(s_np) <= 1e-12)
+        e = float(reconstruction_error(a, u, s, v))
+        uu, ss, vv = rsvd(a, k=k, p=10, q=2, method="eigh")
+        e_svd = float(reconstruction_error(a, uu, ss, vv))
+        assert e < 1.2 * e_svd + 1e-12
+
+    def test_full_rank_matches_rowspace(self):
+        """At full rank l both rowspace tails reconstruct the SAME
+        projector approximation (A Z_q) Z_q^T."""
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+
+        a = jnp.asarray(_spectrum_matrix(
+            90, 70, np.geomspace(1, 1e-3, 70), seed=13))
+        u1, s1, v1 = rsvd(a, k=0, p=12, q=2, finish="rowspace_utv")
+        u2, s2, v2 = rsvd(a, k=0, p=12, q=2, method="eigh",
+                          finish="rowspace")
+        rec1 = np.asarray(u1) * np.asarray(s1)[None, :] @ np.asarray(v1).T
+        rec2 = np.asarray(u2) * np.asarray(s2)[None, :] @ np.asarray(v2).T
+        np.testing.assert_allclose(rec1, rec2, atol=1e-10)
+
+    def test_q0_raises(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+        import pytest
+
+        a = jnp.asarray(np.random.default_rng(14).standard_normal((20, 15)))
+        with pytest.raises(ValueError):
+            rsvd(a, k=4, q=0, finish="rowspace_utv")
