@@ -61,6 +61,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.fd import (  # noqa: F401
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.hodlr import (  # noqa: F401
     HodlrMatrix,
     hodlr_build,
+    hodlr_build_implicit,
     hodlr_compression_ratio,
     hodlr_matvec,
     hodlr_reconstruct,

@@ -116,6 +116,67 @@ def hodlr_build(a, levels: int = 3, k: int = 16, p: int = 10, q: int = 1,
     return HodlrMatrix(*parts, n=n, k=k)
 
 
+def hodlr_build_implicit(block_fn, n: int, levels: int = 3, k: int = 16,
+                         p: int = 10, q: int = 1,
+                         seed: int = 0) -> HodlrMatrix:
+    """HODLR compression of an IMPLICIT matrix — no dense n x n ever
+    materializes, so this builds at sizes where the dense operand cannot
+    exist (65536^2 f32 = 17 GB > HBM; the measured matvec/solve wins at
+    those sizes are in bench_results/hodlr_sweep.csv).
+
+    ``block_fn(i0, j0, rows, cols)`` must return the dense block
+    ``A[i0:i0+rows, j0:j0+cols]`` (host or device array) — e.g. a kernel
+    slice ``K(x[i0:i0+rows], x[j0:j0+cols])`` computed on device.  Only
+    one level's stacked off-diagonal blocks (2^ell x (n/2^(ell+1))^2
+    entries = n^2/2^(ell+2), largest at ell=0: a quarter of A) plus the
+    leaf stack are ever resident; pass deeper ``levels`` to shrink the
+    peak (level-0 blocks are factorized and freed before level 1 is
+    formed).
+    """
+    if n % (2 ** levels):
+        raise ValueError(f"n={n} not divisible by 2^levels={2 ** levels}")
+    u_up, v_up, u_lo, v_lo = [], [], [], []
+    for ell in range(levels):
+        b = 2 ** ell
+        m = n // (2 * b)
+        kk = min(k, m)
+        omega = generate_omega(seed + ell, m, min(kk + p, m), jnp.float32)
+
+        @jax.jit
+        def factor(blks, om):
+            def one(blk):
+                # default robust QR, exactly like hodlr_build's factor:
+                # smooth off-diagonal blocks sketch to numerically
+                # rank-deficient Y, where plain CholeskyQR2 loses 4
+                # digits (measured) — robust's shifted/Householder
+                # fallback vmaps as a select
+                u, s, v = rsvd_with_omega(blk, om, q=q, k=om.shape[1],
+                                          method="eigh", reorth="half")
+                return u * s[None, :], v
+
+            return jax.vmap(one)(blks)
+
+        uppers = jnp.stack([jnp.asarray(
+            block_fn(i * 2 * m, i * 2 * m + m, m, m)) for i in range(b)])
+        lowers = jnp.stack([jnp.asarray(
+            block_fn(i * 2 * m + m, i * 2 * m, m, m)) for i in range(b)])
+        fu, fv = factor(uppers, omega)
+        gu, gv = factor(lowers, omega)
+        # truncate the oversampled factors back to kk (rsvd_with_omega
+        # returns all l columns when k == l)
+        u_up.append(fu[..., :kk])
+        v_up.append(fv[..., :kk])
+        u_lo.append(gu[..., :kk])
+        v_lo.append(gv[..., :kk])
+        del uppers, lowers
+    leaf = n // 2 ** levels
+    leaves = jnp.stack([jnp.asarray(
+        block_fn(i * leaf, i * leaf, leaf, leaf))
+        for i in range(2 ** levels)])
+    return HodlrMatrix(tuple(u_up), tuple(v_up), tuple(u_lo), tuple(v_lo),
+                       leaves, n=n, k=k)
+
+
 @jax.jit
 def hodlr_matvec(h: HodlrMatrix, x) -> jax.Array:
     """y = H x in O(k n log n): per level, batched (b, m, k) GEMVs."""

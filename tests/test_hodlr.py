@@ -80,3 +80,76 @@ class TestHodlr:
         h2 = hodlr_build(jnp.asarray(a), levels=2, k=8, seed=7)
         np.testing.assert_array_equal(np.asarray(h1.u_upper[0]),
                                       np.asarray(h2.u_upper[0]))
+
+
+class TestImplicitBuild:
+    """hodlr_build_implicit: compression without materializing A —
+    the build path for sizes where dense A exceeds HBM
+    (bench_results/hodlr_sweep.csv: 65536^2 f32 = 17 GB)."""
+
+    def test_matches_dense_build_reconstruction(self):
+        import numpy as np
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
+            hodlr_build,
+            hodlr_build_implicit,
+            hodlr_matvec,
+            hodlr_reconstruct,
+        )
+
+        n = 256
+        x = np.linspace(0.0, 1.0, n)
+        a_np = np.exp(-8.0 * np.abs(x[:, None] - x[None, :])).astype(
+            np.float32)
+
+        def block_fn(i0, j0, rows, cols):
+            return a_np[i0:i0 + rows, j0:j0 + cols]
+
+        hi = hodlr_build_implicit(block_fn, n, levels=3, k=8)
+        hd = hodlr_build(a_np, levels=3, k=8)
+        rec_i = np.asarray(hodlr_reconstruct(hi))
+        rec_d = np.asarray(hodlr_reconstruct(hd))
+        # both compress the same smooth kernel to the same accuracy
+        err_i = np.linalg.norm(rec_i - a_np) / np.linalg.norm(a_np)
+        err_d = np.linalg.norm(rec_d - a_np) / np.linalg.norm(a_np)
+        assert err_i < 1e-4 and err_d < 1e-4
+        # and agree with each other through the matvec
+        import jax.numpy as jnp
+
+        v = jnp.asarray(np.random.default_rng(0).standard_normal(n),
+                        jnp.float32)
+        np.testing.assert_allclose(np.asarray(hodlr_matvec(hi, v)),
+                                   np.asarray(hodlr_matvec(hd, v)),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_device_block_fn_and_validation(self):
+        import numpy as np
+        import pytest
+
+        import jax
+        import jax.numpy as jnp
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
+            hodlr_build_implicit,
+            hodlr_matvec,
+        )
+
+        n = 128
+        xs = jnp.linspace(0.0, 1.0, n)
+
+        @jax.jit
+        def kernel_block(xi, xj):
+            return jnp.exp(-4.0 * jnp.abs(xi[:, None] - xj[None, :]))
+
+        def block_fn(i0, j0, rows, cols):
+            return kernel_block(jax.lax.dynamic_slice(xs, (i0,), (rows,)),
+                                jax.lax.dynamic_slice(xs, (j0,), (cols,)))
+
+        h = hodlr_build_implicit(block_fn, n, levels=2, k=8)
+        y = hodlr_matvec(h, jnp.ones(n, jnp.float32))
+        a_np = np.exp(-4.0 * np.abs(np.asarray(xs)[:, None]
+                                    - np.asarray(xs)[None, :]))
+        np.testing.assert_allclose(np.asarray(y), a_np.sum(axis=1),
+                                   rtol=1e-3)
+        with pytest.raises(ValueError):
+            hodlr_build_implicit(block_fn, 130, levels=2, k=8)

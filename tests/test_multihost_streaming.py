@@ -165,3 +165,17 @@ def test_multihost_checkpoint_resume(tmp_path, rng, monkeypatch):
                                           checkpoint_dir=ck)
     assert calls["passes"] == 3
     np.testing.assert_allclose(np.asarray(s3), np.asarray(s1), rtol=1e-6)
+
+
+def test_unwritable_checkpoint_dir_degrades(rng):
+    """An unwritable checkpoint path must not abort (or, multi-process,
+    desynchronize) the run: the driver degrades to no-checkpoint and
+    factors normally (advisor finding r3: differing code paths before
+    the stage all-reduce could deadlock a fleet)."""
+    a = (rng.standard_normal((120, 5)) @ rng.standard_normal((5, 80))
+         ).astype(np.float32)
+    u, s, v = rsvd_streaming_multihost(
+        a, k=5, p=5, q=1, panel_rows=64,
+        checkpoint_dir="/proc/definitely-not-writable")
+    rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+    assert np.linalg.norm(rec - a) < 1e-3 * np.linalg.norm(a)
