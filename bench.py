@@ -198,7 +198,7 @@ def main():
         f"{t_ll * 1e3:.1f} ms -> on-device {ondevice_s * 1e3:.3f} ms/iter")
 
     flops = rsvd_flops(M, N, l, Q)
-    if FINISH == "rowspace":
+    if FINISH in ("rowspace", "rowspace_utv"):
         # 2q+1 passes over A instead of 2q+2: count the flops actually done
         flops *= (2 * Q + 1) / (2 * Q + 2)
     gflops = flops / ondevice_s / 1e9
