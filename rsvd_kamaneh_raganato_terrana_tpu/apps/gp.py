@@ -32,8 +32,16 @@ import numpy as np
 
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.hodlr import (
     hodlr_build,
+    hodlr_build_implicit,
+    hodlr_matvec,
     hodlr_solve,
 )
+
+
+def _hodlr_apply(v, h):
+    """Stable module-level operator for slq_trace (its callable is a
+    static jit argument keyed by identity — rsvd/slq.py docstring)."""
+    return hodlr_matvec(h, v)
 
 
 def rbf_kernel(x1, x2, lengthscale: float = 0.2, variance: float = 1.0):
@@ -66,13 +74,20 @@ class GP:
     def __init__(self, kernel: Optional[Callable] = None,
                  noise: float = 1e-2, solver: str = "auto",
                  levels: int = 4, rank: int = 24,
-                 dense_threshold: int = 512):
+                 dense_threshold: int = 512,
+                 implicit_threshold: int = 8192):
         self.kernel = kernel or rbf_kernel
         self.noise = noise
         self.solver = solver
         self.levels = levels
         self.rank = rank
         self.dense_threshold = dense_threshold
+        # above this, the n x n train kernel is NEVER materialized: the
+        # HODLR factors build from kernel-slice callbacks
+        # (hodlr_build_implicit) and the log-marginal-likelihood's
+        # log-det runs SLQ on the hierarchical matvec — the O(n^2)
+        # kernel matrix stops being the memory ceiling
+        self.implicit_threshold = implicit_threshold
 
     def _resolve_solver(self, n: int) -> str:
         if self.solver != "auto":
@@ -90,13 +105,13 @@ class GP:
         n = x.shape[0]
         self.x_train_ = x
         self.y_train_ = y
-        kmat = self.kernel(x, x) + self.noise ** 2 * jnp.eye(n, dtype=x.dtype)
         # clear any previous fit's solver state: predict() dispatches on
         # which attribute exists, so a stale factor from an earlier fit
         # with the other solver must not survive a refit
         for attr in ("_cho", "_hodlr"):
             if hasattr(self, attr):
                 delattr(self, attr)
+        self._implicit = False
         mode = self._resolve_solver(n)
         if mode == "hodlr":
             levels = self.levels
@@ -105,12 +120,33 @@ class GP:
                 if levels == 0:
                     break
             if levels >= 1:
-                h = hodlr_build(kmat, levels=levels, k=self.rank)
+                if n > self.implicit_threshold:
+                    # beyond-memory regime: K never materializes — each
+                    # HODLR block is a kernel slice computed on demand
+                    kern, noise2 = self.kernel, self.noise ** 2
+
+                    def block_fn(i0, j0, rows, cols):
+                        blk = kern(x[i0:i0 + rows], x[j0:j0 + cols])
+                        if i0 == j0 and rows == cols:  # leaf: + sigma^2 I
+                            blk = blk + noise2 * jnp.eye(rows,
+                                                         dtype=blk.dtype)
+                        return blk
+
+                    h = hodlr_build_implicit(block_fn, n, levels=levels,
+                                             k=self.rank)
+                    self._implicit = True
+                else:
+                    kmat = (self.kernel(x, x)
+                            + self.noise ** 2 * jnp.eye(n, dtype=x.dtype))
+                    h = hodlr_build(kmat, levels=levels, k=self.rank)
                 self.alpha_ = hodlr_solve(h, y)
                 self._hodlr = h
-                self.solver_used_ = f"hodlr(levels={levels}, k={self.rank})"
+                self.solver_used_ = (
+                    f"hodlr(levels={levels}, k={self.rank}"
+                    + (", implicit)" if self._implicit else ")"))
                 return self
             mode = "dense"              # too small to split: exact path
+        kmat = self.kernel(x, x) + self.noise ** 2 * jnp.eye(n, dtype=x.dtype)
         c = jax.scipy.linalg.cho_factor(kmat)
         self.alpha_ = jax.scipy.linalg.cho_solve(c, y)
         self._cho = c
@@ -139,13 +175,23 @@ class GP:
     def log_marginal_likelihood(self, num_probes: int = 8,
                                 steps: int = 30, seed: int = 0) -> float:
         """-1/2 [y^T alpha + logdet(K + s^2 I) + n log 2pi]; log-det by
-        SLQ on the (dense or reconstructed) train kernel."""
+        SLQ — on the dense train kernel, or matrix-free on the HODLR
+        matvec for implicit fits (where the dense K was never formed;
+        the log-det then inherits the compressor's truncation error,
+        consistent with the solve path it scores)."""
         from rsvd_kamaneh_raganato_terrana_tpu.rsvd.slq import logdet_psd
 
         n = self.x_train_.shape[0]
-        kmat = (self.kernel(self.x_train_, self.x_train_)
-                + self.noise ** 2 * jnp.eye(n, dtype=self.x_train_.dtype))
-        ld = float(logdet_psd(kmat, seed=seed, num_probes=num_probes,
-                              steps=steps))
+        if getattr(self, "_implicit", False):
+            ld = float(logdet_psd(_hodlr_apply, seed=seed,
+                                  num_probes=num_probes, steps=steps,
+                                  n=n, dtype=self.x_train_.dtype,
+                                  operands=(self._hodlr,)))
+        else:
+            kmat = (self.kernel(self.x_train_, self.x_train_)
+                    + self.noise ** 2
+                    * jnp.eye(n, dtype=self.x_train_.dtype))
+            ld = float(logdet_psd(kmat, seed=seed, num_probes=num_probes,
+                                  steps=steps))
         fit = float(self.y_train_ @ self.alpha_)
         return -0.5 * (fit + ld + n * float(np.log(2 * np.pi)))

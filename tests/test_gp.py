@@ -87,3 +87,36 @@ class TestGP:
         x, y = _toy_data(n=128)
         gp = GP(solver="auto").fit(x, y)
         assert gp.solver_used_ == "dense"
+
+
+@pytest.mark.slow
+def test_implicit_fit_matches_dense_hodlr():
+    """Forcing the implicit path (implicit_threshold below n): the
+    never-materialize-K fit must reproduce the dense-built HODLR fit's
+    predictions, and the matrix-free SLQ log-ML must agree with the
+    dense-K SLQ to estimator noise."""
+    import numpy as np
+
+    from rsvd_kamaneh_raganato_terrana_tpu.apps.gp import GP
+
+    rng = np.random.default_rng(5)
+    x = np.sort(rng.uniform(0, 6, 1024))
+    y = np.sin(2 * x) + 0.05 * rng.standard_normal(1024)
+    xt = np.linspace(0.2, 5.8, 40)
+
+    gp_d = GP(noise=0.05).fit(x, y)                      # dense-built hodlr
+    gp_i = GP(noise=0.05, implicit_threshold=256).fit(x, y)
+    assert gp_i.solver_used_.endswith("implicit)")
+    assert not gp_d.solver_used_.endswith("implicit)")
+    m_d, v_d = gp_d.predict(xt, return_var=True)
+    m_i, v_i = gp_i.predict(xt, return_var=True)
+    np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_d),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d),
+                               rtol=1e-2, atol=1e-3)
+    lml_d = gp_d.log_marginal_likelihood(num_probes=16, steps=40)
+    lml_i = gp_i.log_marginal_likelihood(num_probes=16, steps=40)
+    # SLQ probe noise ~ O(1/sqrt(probes)) relative on logdet; the two
+    # estimates run different operators (dense vs compressed) — agree
+    # within a few percent of magnitude
+    assert abs(lml_i - lml_d) < 0.05 * abs(lml_d) + 5.0
