@@ -418,3 +418,23 @@ def test_mm_mixed_dtype_promotes_unless_bf16(rng):
     ref_bf = (np.asarray(abf, np.float32)
               @ np.asarray(b32.astype(jnp.bfloat16), np.float32))
     np.testing.assert_allclose(np.asarray(out_bf), ref_bf, rtol=1e-5)
+
+
+def test_serving_finishes_sharded_match_single(mesh8, rng):
+    """finish='utv' / 'rowspace_utv' on a row-sharded A: identical
+    weights/factors vs one device (the serving modes must be as
+    sharding-oblivious as the eigh tails — their tail QRs are the same
+    CholeskyQR collectives)."""
+    from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import shard_rows
+
+    a = rng.standard_normal((256, 96))
+    for fin in ("utv", "rowspace_utv"):
+        u1, s1, v1 = rsvd(jnp.asarray(a), k=8, p=8, q=2, finish=fin)
+        u2, s2, v2 = rsvd(shard_rows(jnp.asarray(a), mesh8), k=8, p=8,
+                          q=2, finish=fin)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-9, err_msg=fin)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                                   atol=1e-8, err_msg=fin)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-8, err_msg=fin)
