@@ -89,6 +89,19 @@ class GP:
         # kernel matrix stops being the memory ceiling
         self.implicit_threshold = implicit_threshold
 
+    @staticmethod
+    def _hodlr_lambda_max(h, n: int, iters: int = 8) -> float:
+        """Crude power-iteration lambda_max of the compressed operator —
+        only sets the SCALE of the NaN-retry jitter, so 8 iterations is
+        plenty."""
+        v = jnp.ones((n,), h.leaves.dtype) / float(np.sqrt(n))
+        nrm = jnp.ones((), h.leaves.dtype)
+        for _ in range(iters):
+            w = hodlr_matvec(h, v)
+            nrm = jnp.linalg.norm(w)
+            v = w / jnp.maximum(nrm, jnp.finfo(w.dtype).tiny)
+        return float(nrm)
+
     def _resolve_solver(self, n: int) -> str:
         if self.solver != "auto":
             return self.solver
@@ -140,10 +153,33 @@ class GP:
                             + self.noise ** 2 * jnp.eye(n, dtype=x.dtype))
                     h = hodlr_build(kmat, levels=levels, k=self.rank)
                 self.alpha_ = hodlr_solve(h, y)
+                jitter = 0.0
+                if not bool(jnp.all(jnp.isfinite(self.alpha_))):
+                    # The compressed K + sigma^2 I can be slightly
+                    # INDEFINITE when the compression floor exceeds
+                    # sigma^2 (measured f32 at n=2048: lambda_min
+                    # -0.0077 vs the 3e-5/entry rSVD floor — bounded by
+                    # ~n*eps*lambda_max), which sends CG to NaN.  Retry
+                    # with escalating diagonal jitter on the LEAVES
+                    # (extra ridge noise — bounded accuracy loss beats
+                    # a NaN fit).
+                    lam_max = self._hodlr_lambda_max(h, n)
+                    base = (np.finfo(np.dtype(str(x.dtype))).eps
+                            * n * lam_max)
+                    for mult in (1.0, 4.0, 16.0):
+                        jitter = mult * base
+                        eye = jitter * jnp.eye(h.leaves.shape[1],
+                                               dtype=h.leaves.dtype)
+                        h_j = h._replace(leaves=h.leaves + eye[None])
+                        self.alpha_ = hodlr_solve(h_j, y)
+                        if bool(jnp.all(jnp.isfinite(self.alpha_))):
+                            h = h_j
+                            break
                 self._hodlr = h
                 self.solver_used_ = (
                     f"hodlr(levels={levels}, k={self.rank}"
-                    + (", implicit)" if self._implicit else ")"))
+                    + (", implicit" if self._implicit else "")
+                    + (f", jitter={jitter:.2e}" if jitter else "") + ")")
                 return self
             mode = "dense"              # too small to split: exact path
         kmat = self.kernel(x, x) + self.noise ** 2 * jnp.eye(n, dtype=x.dtype)
