@@ -65,6 +65,10 @@ INTERIOR = os.environ.get("BENCH_INTERIOR_QR", "robust1")
 # 'project' (reference-parity 2q+2 passes) or 'rowspace' (2q+1 passes,
 # one fewer read of A — rsvd_with_omega docstring).
 FINISH = os.environ.get("BENCH_FINISH", "project")
+# final-orthonormalization QR ('robust' = CholeskyQR2 + fallback;
+# 'robust1' = single-pass CholeskyQR — serving-mode experiment: halves
+# the tail QR chain at ~sqrt(eps) looser Q orthogonality).
+QR_METHOD = os.environ.get("BENCH_QR_METHOD", "robust")
 DTYPE = "float32"
 
 
@@ -120,8 +124,9 @@ def main():
         # whole chain inside one fori_loop dispatch).
         omega = generate_omega(seed, N, l, x.dtype)
         return rsvd_with_omega(x, omega, q=Q, k=K, method=METHOD,
-                               precision=PRECISION, reorth=REORTH,
-                               interior_qr=INTERIOR, finish=FINISH)
+                               qr_method=QR_METHOD, precision=PRECISION,
+                               reorth=REORTH, interior_qr=INTERIOR,
+                               finish=FINISH)
 
     log("compiling + first run")
     t0 = time.perf_counter()
@@ -162,7 +167,8 @@ def main():
             def body(i, acc):
                 omega = generate_omega(seeds[i], N, l, x.dtype)
                 _, s_i, _ = rsvd_with_omega(
-                    x, omega, q=Q, k=K, method=METHOD, precision=PRECISION,
+                    x, omega, q=Q, k=K, method=METHOD,
+                    qr_method=QR_METHOD, precision=PRECISION,
                     reorth=REORTH, interior_qr=INTERIOR, finish=FINISH)
                 return acc + s_i[0]
 
@@ -228,6 +234,7 @@ def main():
         "err_ratio_vs_numpy": round(ours / theirs, 4),
         "precision": PRECISION,
         "finish": FINISH,
+        "qr_method": QR_METHOD,
         "device": str(jax.devices()[0]),
         "baseline_cpu_ms": round(cpu_s * 1e3, 1),
     }))

@@ -163,10 +163,15 @@ class GP:
                     # with escalating diagonal jitter on the LEAVES
                     # (extra ridge noise — bounded accuracy loss beats
                     # a NaN fit).
+                    # escalate from 1/16 of the worst-case bound: the
+                    # actual indefiniteness ||E||_2 is usually well
+                    # below n*eps*lam_max (measured 32768: bound 3.25),
+                    # and a tighter jitter keeps the posterior variance
+                    # honest; each failed step costs one NaN CG solve
                     lam_max = self._hodlr_lambda_max(h, n)
                     base = (np.finfo(np.dtype(str(x.dtype))).eps
                             * n * lam_max)
-                    for mult in (1.0, 4.0, 16.0):
+                    for mult in (0.0625, 0.25, 1.0, 4.0, 16.0):
                         jitter = mult * base
                         eye = jitter * jnp.eye(h.leaves.shape[1],
                                                dtype=h.leaves.dtype)
