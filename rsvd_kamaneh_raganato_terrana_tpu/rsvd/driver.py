@@ -103,6 +103,17 @@ def _mm(a, b, precision=DOT_PRECISION):
                       preferred_element_type=a.dtype)
 
 
+def _fold_weights(tri):
+    """Column norms of a triangular middle factor (the UTV finishes'
+    decomposition weights) and their divide-safe floor.  Norms
+    accumulate in at least f32 (a bf16 sum of squares loses the small
+    columns) but NEVER narrower than the input — an f32 norm of an f64
+    factor would silently cap x64 science runs at 1e-7."""
+    acc = jnp.promote_types(tri.dtype, jnp.float32)
+    s = jnp.linalg.norm(tri.astype(acc), axis=0).astype(tri.dtype)
+    return s, jnp.maximum(s, jnp.finfo(acc).tiny)
+
+
 def power_refine(a, q_mat, q: int, qr_method: str = "robust",
                  precision=DOT_PRECISION, reorth: str = "full",
                  interior_qr: Optional[str] = None):
@@ -175,8 +186,10 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
       "small-op latency decomposition").  Honesty gates: at full rank l
       the reconstruction is EXACTLY 'project''s Q B, but (a) the
       returned s are the unit-u decomposition weights ||L_col||, NOT
-      singular values — the energy identity sum s^2 = sum sigma^2 is
-      exact, yet per-entry tracking needs strongly gapped spectra
+      singular values — the energy identity sum s^2 = ||B||_F^2 (the
+      range's captured energy, = the eigh tail's sum sigma(B)^2) is
+      exact to arithmetic, yet per-entry tracking needs strongly gapped
+      spectra
       (measured, q=2 f64: max rel error 0.27% at sigma ratio 0.3, 4.3%
       at 0.4, 26% at 0.5 — tests/test_utv.py); (b) V is orthonormal
       while U has exactly unit-norm columns that are orthogonal only to
@@ -222,9 +235,7 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
             # diag(||T_col||) Z_q^T.  Same honesty gates as 'utv' (s are
             # weights, U unit-column), one fewer pass over A than it.
             q_c, t = qr_reduced(c, qr_method)
-            s = jnp.linalg.norm(t.astype(jnp.float32),
-                                axis=0).astype(t.dtype)
-            safe = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+            s, safe = _fold_weights(t)
             u = _mm(q_c, t / safe[None, :])
             order = jnp.argsort(-s)
             u, s, v = u[:, order], s[order], z_q[:, order]
@@ -241,8 +252,7 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
         b = _mm(q_mat.T, a_stage, prec)                     # l x n
         v, r = qr_reduced(b.T, qr_method)                   # B^T = V R
         el = r.T                                            # B = L V^T
-        s = jnp.linalg.norm(el.astype(jnp.float32), axis=0).astype(el.dtype)
-        safe = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+        s, safe = _fold_weights(el)
         u = _mm(q_mat, el / safe[None, :])                  # unit columns
         order = jnp.argsort(-s)                             # weights are
         u, s, v = u[:, order], s[order], v[:, order]        # near-sorted

@@ -224,3 +224,27 @@ class TestRowspaceUtvFinish:
         a = jnp.asarray(np.random.default_rng(14).standard_normal((20, 15)))
         with pytest.raises(ValueError):
             rsvd(a, k=4, q=0, finish="rowspace_utv")
+
+
+def test_utv_weights_keep_f64_precision():
+    """The fold's column norms must accumulate at the INPUT precision:
+    an f32 norm of an f64 factor would cap x64 science runs at ~1e-7
+    (round-4 self-review finding).  The exact energy identity
+    sum s^2 = ||B||_F^2 must hold at f64 resolution."""
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+
+    n = 40
+    a = jnp.asarray(_spectrum_matrix(90, n, np.geomspace(1, 1e-3, n),
+                                     seed=21))
+    assert a.dtype == jnp.float64
+    u, s, v = rsvd(a, k=0, p=12, q=2, finish="utv")
+    s_np = np.asarray(s)
+    assert s_np.dtype == np.float64
+    # identical stage A => identical B; sum s^2 = ||B||_F^2 = the eigh
+    # tail's sum sigma(B)^2, equal at f64 ARITHMETIC resolution (the
+    # top-l sum of sigma(A)^2 differs by the range-finder gap — that is
+    # a different, algorithmic quantity)
+    _, s_p, _ = rsvd(a, k=0, p=12, q=2, method="eigh", finish="project")
+    np.testing.assert_allclose(float((s_np ** 2).sum()),
+                               float((np.asarray(s_p) ** 2).sum()),
+                               rtol=1e-12)
