@@ -166,11 +166,18 @@ def main():
         def run_loop(x, seeds):
             def body(i, acc):
                 omega = generate_omega(seeds[i], N, l, x.dtype)
-                _, s_i, _ = rsvd_with_omega(
+                u_i, s_i, v_i = rsvd_with_omega(
                     x, omega, q=Q, k=K, method=METHOD,
                     qr_method=QR_METHOD, precision=PRECISION,
                     reorth=REORTH, interior_qr=INTERIOR, finish=FINISH)
-                return acc + s_i[0]
+                # consume ALL THREE factors (protocol v2, round 4): a
+                # carry of s alone lets XLA dead-code-eliminate each
+                # finish's unused factor-forming GEMMs (U = Q u_t, the
+                # UTV trsm+fold, V = B^T u_t / s), under-reporting the
+                # full-factorization latency by a finish-dependent
+                # amount — the serving-mode ladder must compare fully
+                # materialized factorizations.
+                return acc + s_i[0] + u_i[0, 0] + v_i[0, 0]
 
             return jax.lax.fori_loop(0, reps, body, jnp.zeros((), x.dtype))
 

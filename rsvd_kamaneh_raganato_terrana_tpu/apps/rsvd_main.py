@@ -31,6 +31,12 @@ def main(argv=None):
     ap.add_argument("--method", default="jacobi",
                     help="small-SVD tail engine (jacobi|power|eigh|auto|...)")
     ap.add_argument("--precision", default="highest")
+    ap.add_argument("--finish", default="project",
+                    help="project|rowspace|utv|rowspace_utv (serving "
+                         "modes — rsvd_with_omega docstring)")
+    ap.add_argument("--qr-method", default="robust",
+                    help="robust|robust1|cholqr1|cholqr2|cholqr3|"
+                         "householder")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-dir", default=None,
                     help="write <stem>_U/S/V.mtx factor exports here")
@@ -64,13 +70,18 @@ def main(argv=None):
         a = jnp.asarray(read_matrix_market(path))
         t0 = time.perf_counter()
         u, s, v = rsvd(a, k=args.k, p=args.p, q=args.q, method=args.method,
-                       precision=args.precision, seed=args.seed)
+                       precision=args.precision, seed=args.seed,
+                       finish=args.finish, qr_method=args.qr_method)
         float(s[0])          # force the factorization before stopping the clock
         dt = (time.perf_counter() - t0) * 1e3
         err = float(reconstruction_error(a, u, s, v))
         stem = os.path.splitext(os.path.basename(path))[0]
         print(f"{stem}: {a.shape[0]}x{a.shape[1]} l={s.shape[0]} "
               f"||A-USV^T|| = {err:.6e}  ({dt:.1f} ms)")
+        if not np.isfinite(err) and args.qr_method.startswith("cholqr"):
+            print(f"  hint: {args.qr_method} has no rank-deficiency "
+                  "fallback (linalg/qr.py) — rank-deficient input NaNs; "
+                  "use --qr-method robust", file=sys.stderr)
         if args.save_dir:
             write_matrix_market(
                 os.path.join(args.save_dir, f"{stem}_U.mtx"), np.asarray(u))

@@ -103,6 +103,20 @@ def cholesky_qr(a):
     return q, r
 
 
+def cholesky_qr1(a):
+    """PURE single-pass CholeskyQR — the minimum-depth orthonormalization:
+    one Gram GEMM, ONE plain l x l Cholesky, one trsm-GEMM.  No shifted
+    retry, no degradation flag, no fallback branch: for serving paths on
+    inputs known well-conditioned (cond(A) <= ~1/(10 sqrt(eps))); on
+    rank-deficient input it returns NaNs instead of degrading
+    gracefully.  Exists because the robust1 chain's 3-way stacked
+    Cholesky + finiteness/diagonal reductions + `lax.cond` are
+    measurable depth on the latency-bound QR chain
+    (bench_results/phase_profile_serving_4096.csv)."""
+    r = jnp.linalg.cholesky(_gram(a)).T
+    return _solve_right_upper(a, r), r
+
+
 def cholesky_qr2(a):
     """CholeskyQR2 — orthogonality error O(eps) for cond(A) < ~1/sqrt(eps).
 
@@ -149,8 +163,10 @@ def qr_reduced(a, method: str = "robust"):
       iteration, where Q only needs to be a well-conditioned basis of the
       subspace and the final (pre-projection) QR restores full
       orthogonality.  Halves the latency-bound small-op chain per round.
-    - ``cholqr2`` / ``cholqr3``: pure CholeskyQR (benchmark/HPC path,
-      full-rank well-conditioned inputs).
+    - ``cholqr1`` / ``cholqr2`` / ``cholqr3``: pure CholeskyQR with 1/2/3
+      passes (benchmark/HPC/serving paths, full-rank well-conditioned
+      inputs; ``cholqr1`` is the minimum-depth serving variant — no
+      retry, no fallback, NaNs on rank deficiency).
     - ``householder``: XLA's built-in QR.
     """
 
@@ -172,6 +188,8 @@ def qr_reduced(a, method: str = "robust"):
     if method == "robust1":
         q, r, degraded = _cholesky_qr_flagged(a)
         return jax.lax.cond(degraded, _householder, lambda _: (q, r), a)
+    if method == "cholqr1":
+        return cholesky_qr1(a)
     if method == "cholqr2":
         return cholesky_qr2(a)
     if method == "cholqr3":

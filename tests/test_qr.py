@@ -109,3 +109,24 @@ def test_interior_qr_pipeline_accuracy(rng):
                                   interior_qr=iq)
         errs[iq] = float(jnp.linalg.norm(a_dev - (u * s[None, :]) @ v.T))
     assert errs["robust1"] <= max(errs[None] * 1.5, 1e-9 * np.linalg.norm(a))
+
+
+def test_cholqr1_minimum_depth_variant(rng):
+    """cholqr1: pure single-pass CholeskyQR — exact (Q, R) contract on
+    well-conditioned input, NaN (no graceful fallback) on rank-deficient
+    input (the documented serving trade)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import qr_reduced
+
+    a = jnp.asarray(rng.standard_normal((200, 24)))
+    q, r = qr_reduced(a, "cholqr1")
+    np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(24), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(q @ r), np.asarray(a),
+                               atol=1e-10)
+    assert np.allclose(np.asarray(jnp.tril(r, -1)), 0.0)
+    # rank-deficient: documented NaN, not silent garbage
+    bad = jnp.concatenate([a[:, :12], a[:, :12]], axis=1)
+    qb, _ = qr_reduced(bad, "cholqr1")
+    assert not bool(jnp.all(jnp.isfinite(qb)))
