@@ -176,8 +176,15 @@ def main():
                 # UTV trsm+fold, V = B^T u_t / s), under-reporting the
                 # full-factorization latency by a finish-dependent
                 # amount — the serving-mode ladder must compare fully
-                # materialized factorizations.
-                return acc + s_i[0] + u_i[0, 0] + v_i[0, 0]
+                # materialized factorizations.  The probe is a full-matrix
+                # sum-of-squares reduction, not a scalar slice: XLA's
+                # simplifier can sink a slice through the factor-forming
+                # dot (slice-of-dot -> dot-of-slices), which would
+                # re-enable exactly the DCE this carry exists to prevent
+                # (round-5 advisor finding); a whole-factor reduction has
+                # no such rewrite and costs ~m*k adds vs the m*n*l GEMMs.
+                return (acc + s_i[0] + jnp.sum(u_i ** 2)
+                        + jnp.sum(v_i ** 2))
 
             return jax.lax.fori_loop(0, reps, body, jnp.zeros((), x.dtype))
 

@@ -180,6 +180,17 @@ class GP:
                         if bool(jnp.all(jnp.isfinite(self.alpha_))):
                             h = h_j
                             break
+                    else:
+                        # every escalation failed: the stored operator is
+                        # the UN-jittered h, so solver_used_ must not
+                        # claim jitter=16*base — reset and surface the
+                        # NaN fit instead of returning silently
+                        jitter = 0.0
+                        raise FloatingPointError(
+                            "GP fit: CG produced non-finite alpha even "
+                            f"after jitter escalation to 16*{base:.2e}; "
+                            "the compressed kernel is too indefinite — "
+                            "raise rank, noise, or use the dense path")
                 self._hodlr = h
                 self.solver_used_ = (
                     f"hodlr(levels={levels}, k={self.rank}"

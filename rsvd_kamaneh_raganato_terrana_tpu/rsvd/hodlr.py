@@ -127,20 +127,26 @@ def hodlr_build_implicit(block_fn, n: int, levels: int = 3, k: int = 16,
     ``block_fn(i0, j0, rows, cols)`` must return the dense block
     ``A[i0:i0+rows, j0:j0+cols]`` (host or device array) — e.g. a kernel
     slice ``K(x[i0:i0+rows], x[j0:j0+cols])`` computed on device.  Only
-    one level's stacked off-diagonal blocks (2^ell x (n/2^(ell+1))^2
-    entries = n^2/2^(ell+2), largest at ell=0: a quarter of A) plus the
-    leaf stack are ever resident; pass deeper ``levels`` to shrink the
-    peak (level-0 blocks are factorized and freed before level 1 is
-    formed).
+    ONE TRIANGLE of one level's stacked off-diagonal blocks
+    (2^ell x (n/2^(ell+1))^2 entries = n^2/2^(ell+2), largest at ell=0:
+    a quarter of A) plus the leaf stack are ever resident: the upper
+    stack is factorized and freed before the lower stack is formed.
+    Pass deeper ``levels`` to shrink the peak further.
     """
     if n % (2 ** levels):
         raise ValueError(f"n={n} not divisible by 2^levels={2 ** levels}")
     u_up, v_up, u_lo, v_lo = [], [], [], []
+    dtype = None
     for ell in range(levels):
         b = 2 ** ell
         m = n // (2 * b)
         kk = min(k, m)
-        omega = generate_omega(seed + ell, m, min(kk + p, m), jnp.float32)
+        if dtype is None:
+            # dtype-agnostic like hodlr_build: the sketch matches the
+            # operand blocks (an x64 science run must not silently get
+            # f32 sketches and break dense/implicit build parity)
+            dtype = jnp.asarray(block_fn(0, m, 1, 1)).dtype
+        omega = generate_omega(seed + ell, m, min(kk + p, m), dtype)
 
         @jax.jit
         def factor(blks, om):
@@ -156,19 +162,23 @@ def hodlr_build_implicit(block_fn, n: int, levels: int = 3, k: int = 16,
 
             return jax.vmap(one)(blks)
 
+        # factor-and-free one triangle at a time: keeping both stacks
+        # alive would double peak residency to ~n^2/2 at ell=0, defeating
+        # the beyond-HBM purpose of this builder
         uppers = jnp.stack([jnp.asarray(
             block_fn(i * 2 * m, i * 2 * m + m, m, m)) for i in range(b)])
+        fu, fv = factor(uppers, omega)
+        del uppers
         lowers = jnp.stack([jnp.asarray(
             block_fn(i * 2 * m + m, i * 2 * m, m, m)) for i in range(b)])
-        fu, fv = factor(uppers, omega)
         gu, gv = factor(lowers, omega)
+        del lowers
         # truncate the oversampled factors back to kk (rsvd_with_omega
         # returns all l columns when k == l)
         u_up.append(fu[..., :kk])
         v_up.append(fv[..., :kk])
         u_lo.append(gu[..., :kk])
         v_lo.append(gv[..., :kk])
-        del uppers, lowers
     leaf = n // 2 ** levels
     leaves = jnp.stack([jnp.asarray(
         block_fn(i * leaf, i * leaf, leaf, leaf))

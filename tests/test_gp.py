@@ -88,6 +88,19 @@ class TestGP:
         gp = GP(solver="auto").fit(x, y)
         assert gp.solver_used_ == "dense"
 
+    def test_exhausted_jitter_escalation_raises(self, monkeypatch):
+        """If every jitter escalation still yields non-finite alpha, fit()
+        must raise rather than return silently with metadata claiming a
+        jitter that was never installed (round-5 advisor finding)."""
+        from rsvd_kamaneh_raganato_terrana_tpu.apps import gp as gp_mod
+
+        x, y = _toy_data(n=256)
+        nan_alpha = jnp.full(256, jnp.nan)
+        monkeypatch.setattr(gp_mod, "hodlr_solve",
+                            lambda h, b, **kw: nan_alpha)
+        with pytest.raises(FloatingPointError, match="jitter escalation"):
+            GP(noise=0.05, solver="hodlr", levels=2, rank=16).fit(x, y)
+
 
 @pytest.mark.slow
 def test_implicit_fit_matches_dense_hodlr():

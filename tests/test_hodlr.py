@@ -153,3 +153,30 @@ class TestImplicitBuild:
                                    rtol=1e-3)
         with pytest.raises(ValueError):
             hodlr_build_implicit(block_fn, 130, levels=2, k=8)
+
+    def test_implicit_build_is_dtype_agnostic(self):
+        """An f64 block_fn must yield f64 sketches/factors and exact
+        parity with the dense f64 build (round-5 advisor finding:
+        the implicit sketch dtype was hardcoded to f32)."""
+        import numpy as np
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import (
+            hodlr_build,
+            hodlr_build_implicit,
+        )
+
+        n = 128
+        x = np.linspace(0.0, 1.0, n)
+        a_np = np.exp(-8.0 * np.abs(x[:, None] - x[None, :]))
+        assert a_np.dtype == np.float64
+
+        def block_fn(i0, j0, rows, cols):
+            return a_np[i0:i0 + rows, j0:j0 + cols]
+
+        hi = hodlr_build_implicit(block_fn, n, levels=2, k=8)
+        hd = hodlr_build(a_np, levels=2, k=8)
+        assert hi.u_upper[0].dtype == hd.u_upper[0].dtype == np.float64
+        for fi, fd in zip(hi.u_upper, hd.u_upper):
+            np.testing.assert_array_equal(np.asarray(fi), np.asarray(fd))
+        for fi, fd in zip(hi.v_lower, hd.v_lower):
+            np.testing.assert_array_equal(np.asarray(fi), np.asarray(fd))
