@@ -260,6 +260,86 @@ def quantize_uint8(x, interpret: bool | None = None,
     return jnp.ravel(q)[:total].reshape(shape), scale, lo
 
 
+def _cholqr_kernel(y_ref, q_ref, r_ref, mw, *, l: int, l_pad: int):
+    """Single-kernel CholeskyQR1: Gram -> augmented-elimination Cholesky
+    (producing R AND L^{-1} in one l-step sweep) -> apply, with Y resident
+    in VMEM throughout.
+
+    The elimination maintains M = [G | I] and applies the row operations
+    E with E G = R upper-triangular; then E = L^{-1} (G = L L^T), so the
+    augmented half finishes holding L^{-1} and Q = Y (L^{-1})^T needs no
+    separate triangular solve.  Every step is expressed as one-hot
+    matvecs + a rank-1 MXU update — no dynamic lane indexing, which
+    Mosaic lowers poorly.  Pad columns are decoupled by an identity pad
+    block, so only `l` REAL steps run."""
+    f32 = jnp.float32
+    y = y_ref[:]
+    g = jax.lax.dot_general(y, y, (((0,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (l_pad, l_pad), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (l_pad, l_pad), 1)
+    eye = (row == col).astype(f32)
+    pad_eye = ((row == col) & (row >= l)).astype(f32)
+    mw[:, :l_pad] = g + pad_eye
+    mw[:, l_pad:] = eye
+
+    def step(j, _):
+        m_cur = mw[:]
+        e_j = (jax.lax.broadcasted_iota(jnp.int32, (l_pad, 1), 0) == j
+               ).astype(f32)                        # (l_pad, 1) one-hot
+        row_j = jax.lax.dot_general(e_j, m_cur, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=f32)  # (1, 2l)
+        pivot = jnp.sum(row_j[:, :l_pad] * e_j.T)   # M[j, j]
+        d = jax.lax.rsqrt(pivot)
+        row_n = row_j * d                           # normalized pivot row
+        col_j = jnp.dot(m_cur[:, :l_pad], e_j,
+                        preferred_element_type=f32)  # (l_pad, 1) = M[:, j]
+        below = (jax.lax.broadcasted_iota(jnp.int32, (l_pad, 1), 0) > j
+                 ).astype(f32)
+        mult = col_j * below * d                    # elimination coeffs
+        upd = m_cur - jnp.dot(mult, row_n, preferred_element_type=f32)
+        # write back with pivot row replaced by its normalized form
+        mw[:] = upd * (1.0 - e_j) + jnp.dot(e_j, row_n,
+                                            preferred_element_type=f32)
+        return _
+
+    jax.lax.fori_loop(0, l, step, jnp.int32(0))
+    m_fin = mw[:]
+    r_ref[:] = m_fin[:, :l_pad] - pad_eye           # R = L^T (strip pad I)
+    l_inv = m_fin[:, l_pad:]
+    # Q = Y R^{-1} = Y (L^{-1})^T
+    q_ref[:] = jax.lax.dot_general(y, l_inv, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+
+def fused_cholqr1(y, interpret: bool | None = None):
+    """CholeskyQR1 as ONE Pallas kernel (Gram + Cholesky + inverse +
+    apply, zero custom calls / zero op-dispatch gaps).  Same contract as
+    ``linalg.qr.cholesky_qr1``: (Q, R) with R upper-triangular; NaNs on
+    rank-deficient input (no fallback) — serving paths only.  f32; VMEM
+    budget m <= ~8192 at l <= 128 (qr_reduced falls back to the XLA
+    composition above that)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    m, l = y.shape
+    l_pad = max(128, _round_up(l, 128))
+    m_pad = _round_up(m, 8)
+    y32 = y.astype(jnp.float32)
+    if (m_pad, l_pad) != (m, l):
+        y32 = jnp.pad(y32, ((0, m_pad - m), (0, l_pad - l)))
+    kernel = functools.partial(_cholqr_kernel, l=l, l_pad=l_pad)
+    q, r = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m_pad, l_pad), jnp.float32),
+            jax.ShapeDtypeStruct((l_pad, l_pad), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((l_pad, 2 * l_pad), jnp.float32)],
+        interpret=interpret,
+    )(y32)
+    return q[:m, :l].astype(y.dtype), r[:l, :l].astype(y.dtype)
+
+
 def _eigh_kernel(g_ref, pi_ref, lam_ref, v_ref, gw, vw, *,
                  n_pad: int, steps: int):
     """Single-kernel two-sided Jacobi eigensolver for a symmetric matrix

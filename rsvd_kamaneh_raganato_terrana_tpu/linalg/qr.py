@@ -167,6 +167,18 @@ def qr_reduced(a, method: str = "robust"):
       passes (benchmark/HPC/serving paths, full-rank well-conditioned
       inputs; ``cholqr1`` is the minimum-depth serving variant — no
       retry, no fallback, NaNs on rank deficiency).
+    - ``cholqr1_fused``: `cholqr1` as ONE Pallas kernel (Gram +
+      augmented-elimination Cholesky + inverse + apply;
+      linalg/pallas_kernels.py::fused_cholqr1) when the operand fits
+      VMEM, else the XLA composition.  Same contract incl. NaNs on
+      rank deficiency.
+    - ``polar`` / ``polar_fused``: GEMM-only Newton--Schulz polar
+      orthonormalization (linalg/polar.py) — no Cholesky/trsm custom
+      calls on the chain; R is symmetric PSD, NOT triangular (exact
+      Y ~ QR contract, serving-tail compatible).  ``polar_fused`` runs
+      Gram + iteration + apply as ONE Pallas kernel when m * 128 * 8 B
+      fits VMEM, falling back to the XLA composition above that.
+      Graceful on rank deficiency (short columns, not NaNs).
     - ``householder``: XLA's built-in QR.
     """
 
@@ -190,6 +202,28 @@ def qr_reduced(a, method: str = "robust"):
         return jax.lax.cond(degraded, _householder, lambda _: (q, r), a)
     if method == "cholqr1":
         return cholesky_qr1(a)
+    if method == "cholqr1_fused":
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.pallas_kernels import (
+            fused_cholqr1,
+        )
+
+        m, l = a.shape
+        if (a.dtype == jnp.float32
+                and m * max(128, ((l + 127) // 128) * 128) * 8 <= 12 << 20):
+            return fused_cholqr1(a)
+        return cholesky_qr1(a)
+    if method in ("polar", "polar_fused"):
+        from rsvd_kamaneh_raganato_terrana_tpu.linalg.polar import (
+            polar_qr,
+            polar_qr_fused,
+        )
+
+        m, l = a.shape
+        # fused kernel budget: Y + Q resident in VMEM (~16 MB/core)
+        if (method == "polar_fused" and a.dtype == jnp.float32
+                and m * max(128, ((l + 127) // 128) * 128) * 8 <= 12 << 20):
+            return polar_qr_fused(a)
+        return polar_qr(a)
     if method == "cholqr2":
         return cholesky_qr2(a)
     if method == "cholqr3":
