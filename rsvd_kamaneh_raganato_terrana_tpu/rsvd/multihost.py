@@ -41,7 +41,10 @@ from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import (
     _solve_right_upper,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import SVDMethod
-from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import _PRECISIONS
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+    _PRECISIONS,
+    _fold_weights,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
     _default_panel_rows,
     _jit_qr,
@@ -105,9 +108,9 @@ def _global_sum(x_local) -> np.ndarray:
 def _finish_chol_qr(y_local, g_global, m_global):
     """Local half of one distributed CholeskyQR pass: factor the summed
     Gram (shifted-retry guard, linalg/qr.py) and apply R^{-1} to the
-    local row block as a GEMM."""
+    local row block as a GEMM.  Returns (Q_local, R) — R replicated."""
     c, _ = _chol_maybe_shifted(g_global, m_global)
-    return _solve_right_upper(y_local, c.T)
+    return _solve_right_upper(y_local, c.T), c.T
 
 
 def _cholqr2_distributed(y_local, m_global: int):
@@ -115,13 +118,36 @@ def _cholqr2_distributed(y_local, m_global: int):
     (local Gram -> all-reduce -> replicated Cholesky -> local trsm-GEMM).
     The second pass restores O(eps) orthogonality exactly as in the
     in-core `robust_cholesky_qr2` (linalg/qr.py:118)."""
-    q1 = _finish_chol_qr(y_local, jnp.asarray(
+    return _cholqr_distributed_r(y_local, m_global, passes=2)[0]
+
+
+def _cholqr_distributed_r(y_local, m_global: int, passes: int = 2):
+    """Distributed CholeskyQR returning BOTH factors: (Q_local, R) with
+    R = R_2 R_1 replicated.  ``passes=1`` is the serving-depth variant
+    (cholqr1's contract: one collective, O(eps cond^2) orthogonality)."""
+    q_local, r = _finish_chol_qr(y_local, jnp.asarray(
         _global_sum(_jit_gram(y_local)), y_local.dtype), m_global)
-    return _finish_chol_qr(q1, jnp.asarray(
-        _global_sum(_jit_gram(q1)), y_local.dtype), m_global)
+    for _ in range(passes - 1):
+        q_local, r2 = _finish_chol_qr(q_local, jnp.asarray(
+            _global_sum(_jit_gram(q_local)), y_local.dtype), m_global)
+        r = jnp.matmul(r2, r, precision=jax.lax.Precision.HIGHEST)
+    return q_local, r
 
 
 _jit_gram = jax.jit(_gram)
+
+
+@jax.jit
+def _utv_fold_local(factor_local, tri):
+    """Local half of a UTV serving tail: fold the replicated triangular
+    (or general) middle factor into weights and the local row block of U
+    (rsvd.driver finish='utv' contract — s are decomposition weights,
+    U_local unit-column once assembled over hosts)."""
+    s, safe = _fold_weights(tri)
+    u_local = jnp.matmul(factor_local, tri / safe[None, :],
+                         precision=jax.lax.Precision.HIGHEST)
+    order = jnp.argsort(-s)
+    return u_local[:, order], s[order], order
 
 
 @jax.jit
@@ -164,6 +190,7 @@ def rsvd_streaming_multihost(
     panel_dtype: Optional[str] = None,
     finish: str = "project",
     checkpoint_dir: Optional[str] = None,
+    qr_method: str = "robust",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-k rSVD of a matrix whose row shards live one-per-host.
 
@@ -179,6 +206,16 @@ def rsvd_streaming_multihost(
     factors C = A Z_q directly: one fewer streamed pass per host AND one
     fewer cross-host all-reduce (the projection's n x l sum) — every
     process must pass the same value (it changes the collective order).
+    ``finish='utv'`` / ``'rowspace_utv'`` are the serving tails out of
+    core AND across hosts: same streamed passes and collectives as
+    'project' / 'rowspace' respectively (the UTV fold replaces the
+    replicated eigh/SVD tail with a thin QR — no extra cross-host
+    traffic), with the in-core honesty gates (s are weights, U
+    unit-column) unchanged.  ``qr_method`` picks the orthonormalization
+    depth: the distributed basis QRs run CholeskyQR2 by default and drop
+    to ONE (Gram all-reduce -> replicated Cholesky -> local GEMM) pass
+    for 'cholqr1'/'robust1'-family values — every process must agree
+    (collective count changes).
     ``checkpoint_dir`` enables pass-level resume: each host persists its
     per-stage state (under a process-indexed subdirectory — a shared
     filesystem is fine), and on restart the fleet agrees on the MINIMUM
@@ -207,14 +244,19 @@ def rsvd_streaming_multihost(
     key = key_from_seed(seed)
     omega = jax.random.normal(key, (n, l), dtype)
 
-    if finish not in ("project", "rowspace"):
+    if finish not in ("project", "rowspace", "utv", "rowspace_utv"):
         raise ValueError(f"unknown finish {finish!r}")
-    if finish == "rowspace" and q < 1:
-        raise ValueError("finish='rowspace' needs q >= 1")
+    rowspace_like = finish in ("rowspace", "rowspace_utv")
+    if rowspace_like and q < 1:
+        raise ValueError(f"finish={finish!r} needs q >= 1")
+    # serving-family qr_method values collapse the distributed basis QRs
+    # to ONE Gram-allreduce pass (cholqr1's depth/traffic contract)
+    qr_passes = 1 if qr_method in ("cholqr1", "cholqr1_fused",
+                                   "robust1") else 2
 
-    rounds = q - 1 if finish == "rowspace" else q
+    rounds = q - 1 if rowspace_like else q
     stages = (["q0"] + [f"round{i}" for i in range(rounds)]
-              + (["zq_final", "c_final"] if finish == "rowspace"
+              + (["zq_final", "c_final"] if rowspace_like
                  else ["b_final"]))
     ckpt = None
     local_done = 0
@@ -233,7 +275,7 @@ def rsvd_streaming_multihost(
                  "p": p, "q": q, "seed": seed,
                  "dtype": jnp.dtype(dtype).name, "precision": precision,
                  "panel_dtype": panel_dtype, "finish": finish,
-                 "method": method.value,
+                 "method": method.value, "qr_method": qr_method,
                  "data": _data_fingerprint(a_local),
                  "procs": jax.process_count()})
         except OSError:
@@ -262,7 +304,7 @@ def rsvd_streaming_multihost(
     else:
         y_local = _stream_right_multiply(a_local, omega, panel_rows, dtype,
                                          prec, panel_dtype)
-        q_local = _cholqr2_distributed(y_local, m_global)
+        q_local = _cholqr_distributed_r(y_local, m_global, qr_passes)[0]
         if ckpt:
             ckpt.save("q0", q_local)
     for i in range(rounds):
@@ -271,23 +313,25 @@ def rsvd_streaming_multihost(
             continue
         z = _global_sum(_stream_left_t_multiply(
             a_local, q_local, panel_rows, dtype, prec, panel_dtype))
-        z_q, _ = _jit_qr(jnp.asarray(z, dtype), "robust")  # replicated
+        z_q, _ = _jit_qr(jnp.asarray(z, dtype), qr_method)  # replicated
         y_local = _stream_right_multiply(a_local, z_q, panel_rows, dtype,
                                          prec, panel_dtype)
-        q_local = _cholqr2_distributed(y_local, m_global)
+        q_local = _cholqr_distributed_r(y_local, m_global, qr_passes)[0]
         if ckpt:
             ckpt.save(f"round{i}", q_local)
 
-    if finish == "rowspace":
+    if rowspace_like:
         # final half-round: one all-reduced co-range block, replicated QR,
-        # then the LAST streamed pass C = A Z_q; the l x l Gram of the
-        # row-sharded C is the only remaining collective.
+        # then the LAST streamed pass C = A Z_q; the l x l Gram
+        # all-reduce(s) of the row-sharded C are the only remaining
+        # collectives (1 for the UTV tail at qr_passes=1, 2 at 2; 1 for
+        # the eigh tail).
         if 1 + rounds < done:
             z_q = ckpt.load("zq_final")
         else:
             z = _global_sum(_stream_left_t_multiply(
                 a_local, q_local, panel_rows, dtype, prec, panel_dtype))
-            z_q, _ = _jit_qr(jnp.asarray(z, dtype), "robust")  # replicated
+            z_q, _ = _jit_qr(jnp.asarray(z, dtype), qr_method)  # replicated
             if ckpt:
                 ckpt.save("zq_final", z_q)
         if 2 + rounds < done:
@@ -297,17 +341,29 @@ def rsvd_streaming_multihost(
                                              dtype, prec, panel_dtype)
             if ckpt:
                 ckpt.save("c_final", c_local)
+        if finish == "rowspace_utv":
+            # serving tail: distributed thin QR of C, then the local fold
+            q_c_local, t = _cholqr_distributed_r(c_local, m_global,
+                                                 qr_passes)
+            u_local, s, order = _utv_fold_local(q_c_local, t)
+            return u_local[:, :k], s[:k], z_q[:, order][:, :k]
         g = jnp.asarray(_global_sum(_jit_gram(c_local)), dtype)  # l x l
         u_local, s, v = _rowspace_tail(c_local, g, z_q)
         return u_local[:, :k], s[:k], v[:, :k]
 
     if 1 + rounds < done:
-        b = ckpt.load("b_final")
+        zb = ckpt.load("b_final")
     else:
-        b = jnp.asarray(_global_sum(_stream_left_t_multiply(
+        zb = jnp.asarray(_global_sum(_stream_left_t_multiply(
             a_local, q_local, panel_rows, dtype, prec, panel_dtype)),
-            dtype).T
+            dtype)
         if ckpt:
-            ckpt.save("b_final", b)
-    u_local, s, v = _tail_svd(b, q_local, method.value)
+            ckpt.save("b_final", zb)
+    if finish == "utv":
+        # B = Q^T A = L V^T via thin QR of the replicated Z_b = B^T;
+        # the fold against the row-sharded Q is purely local
+        v, r = _jit_qr(zb, qr_method)
+        u_local, s, order = _utv_fold_local(q_local, r.T)
+        return u_local[:, :k], s[:k], v[:, order][:, :k]
+    u_local, s, v = _tail_svd(zb.T, q_local, method.value)
     return u_local[:, :k], s[:k], v[:, :k]

@@ -161,6 +161,25 @@ def main():
     rel_r2 = np.linalg.norm(my_rows - rec_r2) / np.linalg.norm(my_rows)
     assert rel_r2 < 0.06, f"rowspace shard reconstruction {rel_r2}"
 
+    # UTV serving finishes across REAL processes (VERDICT r4 item 3):
+    # 'rowspace_utv' + single-pass distributed QRs changes the collective
+    # COUNT (one Gram all-reduce per basis QR instead of two) — the
+    # 2-process run is where a collective-order bug deadlocks.  The fold
+    # weights track the (gapped, low-rank) spectrum here.
+    u_u, s_u, v_u = rsvd_streaming_multihost(
+        my_rows, k=k, p=8, q=2, panel_rows=64, finish="rowspace_utv",
+        qr_method="cholqr1")
+    s_u = np.asarray(s_u)
+    # s are decomposition WEIGHTS (documented honesty gate): per-entry
+    # sigma tracking needs gapped spectra, but the captured ENERGY and
+    # the reconstruction are exact contracts on this rank-16 operator
+    np.testing.assert_allclose(
+        float((s_u ** 2).sum()), float((s_full[:k] ** 2).sum()),
+        rtol=2e-2)
+    rec_u = np.asarray(u_u) @ np.diag(s_u) @ np.asarray(v_u).T
+    rel_u = np.linalg.norm(my_rows - rec_u) / np.linalg.norm(my_rows)
+    assert rel_u < 0.06, f"rowspace_utv shard reconstruction {rel_u}"
+
     # checkpoint/resume across REAL processes: after a full checkpointed
     # run, delete a mid-run stage on ONE host only — both processes must
     # agree (collective min) to resume from the same stage, or the

@@ -179,3 +179,92 @@ def test_unwritable_checkpoint_dir_degrades(rng):
         checkpoint_dir="/proc/definitely-not-writable")
     rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
     assert np.linalg.norm(rec - a) < 1e-3 * np.linalg.norm(a)
+
+
+def _gapped64(rng, m, n, lo=1e-4):
+    u, _ = np.linalg.qr(rng.standard_normal((m, min(m, n))))
+    v, _ = np.linalg.qr(rng.standard_normal((n, min(m, n))))
+    s = np.geomspace(1.0, lo, min(m, n))
+    return ((u * s) @ v.T).astype(np.float64)
+
+
+class TestMultihostUtvFinishes:
+    """Serving tails on the multihost driver (VERDICT r4 item 3):
+    single-process degenerate coverage; the 2-process collective-order
+    exercise lives in tests/_multihost_worker.py."""
+
+    def test_utv_full_rank_matches_project(self, rng):
+        a = _gapped64(rng, 200, 120, 1e-3)
+        k = 16
+        u1, s1, v1 = rsvd_streaming_multihost(
+            a, k=k, p=0, q=2, panel_rows=64, dtype=jnp.float64,
+            finish="utv")
+        u2, s2, v2 = rsvd_streaming_multihost(
+            a, k=k, p=0, q=2, panel_rows=64, dtype=jnp.float64,
+            finish="project")
+        rec1 = np.asarray(u1) * np.asarray(s1)[None, :] @ np.asarray(v1).T
+        rec2 = np.asarray(u2) * np.asarray(s2)[None, :] @ np.asarray(v2).T
+        np.testing.assert_allclose(rec1, rec2, atol=1e-10)
+        # contract: V orthonormal, U unit-column, s descending weights
+        v_np, u_np = np.asarray(v1), np.asarray(u1)
+        np.testing.assert_allclose(v_np.T @ v_np, np.eye(k), atol=1e-9)
+        np.testing.assert_allclose(np.linalg.norm(u_np, axis=0),
+                                   np.ones(k), atol=1e-9)
+        assert np.all(np.diff(np.asarray(s1)) <= 1e-12)
+
+    def test_rowspace_utv_serving_config(self, rng):
+        """The full serving stack out of core: 2q+1 passes, single-pass
+        distributed QRs (qr_method='cholqr1' => ONE Gram all-reduce per
+        basis QR), thin-QR tail — truncation near optimal."""
+        a = _gapped64(rng, 220, 140, 1e-4).astype(np.float32)
+        k = 12
+        u, s, v = rsvd_streaming_multihost(
+            a, k=k, p=10, q=2, panel_rows=80, finish="rowspace_utv",
+            qr_method="cholqr1")
+        rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+        s_true = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+        opt = np.sqrt((s_true[k:] ** 2).sum())
+        assert np.linalg.norm(rec - a) < 1.35 * opt
+        v_np = np.asarray(v)
+        assert np.abs(v_np.T @ v_np - np.eye(k)).max() < 1e-3
+
+    def test_utv_checkpoint_resume(self, tmp_path, rng, monkeypatch):
+        import os
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import multihost as mh
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import streaming as sm
+
+        calls = {"passes": 0}
+        orig_r = sm._stream_right_multiply
+        orig_l = sm._stream_left_t_multiply
+        monkeypatch.setattr(mh, "_stream_right_multiply",
+                            lambda *a, **kw: (calls.__setitem__(
+                                "passes", calls["passes"] + 1),
+                                orig_r(*a, **kw))[1])
+        monkeypatch.setattr(mh, "_stream_left_t_multiply",
+                            lambda *a, **kw: (calls.__setitem__(
+                                "passes", calls["passes"] + 1),
+                                orig_l(*a, **kw))[1])
+        a = (rng.standard_normal((200, 5)) @ rng.standard_normal((5, 130))
+             ).astype(np.float32)
+        ck = str(tmp_path / "mh_utv")
+        u1, s1, v1 = rsvd_streaming_multihost(
+            a, k=5, p=5, q=2, panel_rows=64, finish="utv",
+            checkpoint_dir=ck)
+        assert calls["passes"] == 6          # same passes as project
+        calls["passes"] = 0
+        u2, s2, v2 = rsvd_streaming_multihost(
+            a, k=5, p=5, q=2, panel_rows=64, finish="utv",
+            checkpoint_dir=ck)
+        assert calls["passes"] == 0
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+        # crash before the projection stage: only that pass replays
+        os.remove(os.path.join(ck, "host0", "b_final.npy"))
+        calls["passes"] = 0
+        u3, s3, v3 = rsvd_streaming_multihost(
+            a, k=5, p=5, q=2, panel_rows=64, finish="utv",
+            checkpoint_dir=ck)
+        assert calls["passes"] == 1
+        np.testing.assert_allclose(np.asarray(s3), np.asarray(s1),
+                                   rtol=1e-6)

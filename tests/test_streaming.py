@@ -236,7 +236,7 @@ class TestStreamCheckpoint:
         u1, s1, v1 = rsvd_streaming(a, k=5, p=5, q=2, panel_rows=50,
                                     checkpoint_dir=ck)
         # simulate a crash after round 0: drop everything later
-        for st in ("round1", "b_final"):
+        for st in ("round1", "zb_final"):
             os.remove(os.path.join(ck, f"{st}.npy"))
         calls["passes"] = 0
         u2, s2, v2 = rsvd_streaming(a, k=5, p=5, q=2, panel_rows=50,
@@ -315,3 +315,130 @@ class TestStreamCheckpoint:
                                     finish="rowspace", checkpoint_dir=ck)
         assert calls["passes"] == 0
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def _gapped(rng, m, n, s_lo=1e-4):
+    u, _ = np.linalg.qr(rng.standard_normal((m, min(m, n))))
+    v, _ = np.linalg.qr(rng.standard_normal((n, min(m, n))))
+    s = np.geomspace(1.0, s_lo, min(m, n))
+    return (u * s) @ v.T
+
+
+class TestStreamingUtvFinishes:
+    """Streamed serving tails (VERDICT r4 item 3): the same contract
+    table as tests/test_utv.py::TestUtvFinish, carried out of core —
+    same streamed pass counts as project/rowspace, thin-QR tails, s are
+    decomposition weights, U unit-column, V orthonormal."""
+
+    def test_utv_full_rank_matches_streamed_project(self, rng):
+        a = _gapped(rng, 150, 90, 1e-3)
+        u1, s1, v1 = rsvd_streaming(a, k=16, p=0, q=2, panel_rows=50,
+                                    dtype=jnp.float64, finish="utv")
+        u2, s2, v2 = rsvd_streaming(a, k=16, p=0, q=2, panel_rows=50,
+                                    dtype=jnp.float64, method="eigh",
+                                    finish="project")
+        rec1 = np.asarray(u1) * np.asarray(s1)[None, :] @ np.asarray(v1).T
+        rec2 = np.asarray(u2) * np.asarray(s2)[None, :] @ np.asarray(v2).T
+        np.testing.assert_allclose(rec1, rec2, atol=1e-10)
+
+    def test_utv_contract_and_energy_identity(self, rng):
+        a = _gapped(rng, 140, 80, 1e-5)
+        l = 20
+        u, s, v = rsvd_streaming(a, k=l, p=0, q=2, panel_rows=64,
+                                 dtype=jnp.float64, finish="utv")
+        u_np, s_np, v_np = map(np.asarray, (u, s, v))
+        np.testing.assert_allclose(v_np.T @ v_np, np.eye(l), atol=1e-9)
+        np.testing.assert_allclose(np.linalg.norm(u_np, axis=0),
+                                   np.ones(l), atol=1e-9)
+        assert np.all(np.diff(s_np) <= 1e-12)
+        # exact energy identity vs the PROJECT tail of the same streamed
+        # stage A (identical seed => identical Q => identical B): the
+        # fold's sum s^2 equals sum sigma(B)^2 at arithmetic resolution
+        _, s_proj, _ = rsvd_streaming(a, k=l, p=0, q=2, panel_rows=64,
+                                      dtype=jnp.float64, method="eigh",
+                                      finish="project")
+        np.testing.assert_allclose(float((s_np ** 2).sum()),
+                                   float((np.asarray(s_proj) ** 2).sum()),
+                                   rtol=1e-11)
+
+    def test_rowspace_utv_truncation_near_optimal(self, rng):
+        a = _gapped(rng, 160, 100, 1e-4)
+        k = 10
+        u, s, v = rsvd_streaming(a, k=k, p=8, q=2, panel_rows=48,
+                                 dtype=jnp.float64, finish="rowspace_utv")
+        rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+        err = np.linalg.norm(a - rec)
+        s_true = np.linalg.svd(a, compute_uv=False)
+        opt = np.sqrt((s_true[k:] ** 2).sum())
+        assert err < 1.3 * opt
+
+    def test_rowspace_utv_pass_count_and_serving_qr(self, rng,
+                                                    monkeypatch):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import streaming as sm
+
+        calls = {"passes": 0}
+        orig_r = sm._stream_right_multiply
+        orig_l = sm._stream_left_t_multiply
+        monkeypatch.setattr(sm, "_stream_right_multiply",
+                            lambda *a, **kw: (calls.__setitem__(
+                                "passes", calls["passes"] + 1),
+                                orig_r(*a, **kw))[1])
+        monkeypatch.setattr(sm, "_stream_left_t_multiply",
+                            lambda *a, **kw: (calls.__setitem__(
+                                "passes", calls["passes"] + 1),
+                                orig_l(*a, **kw))[1])
+        a = _gapped(np.random.default_rng(3), 150, 90, 1e-3
+                    ).astype(np.float32)
+        u, s, v = rsvd_streaming(a, k=8, p=8, q=2, panel_rows=50,
+                                 finish="rowspace_utv",
+                                 qr_method="cholqr1")
+        assert calls["passes"] == 5  # 2q+1: the serving pass count
+        rec = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+        # slow-decay spectrum: compare against the OPTIMAL rank-k error
+        s_true = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+        opt = np.sqrt((s_true[8:] ** 2).sum())
+        assert np.linalg.norm(rec - a) < 1.35 * opt
+
+    def test_utv_checkpoint_resume_bitwise(self, tmp_path, rng,
+                                           monkeypatch):
+        """Pass-level resume parity for the serving finishes: a second
+        run from checkpoints must reproduce the factors BITWISE (the
+        northstar_resume contract, now including the UTV tail)."""
+        import os
+
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import streaming as sm
+
+        calls = {"passes": 0}
+        orig_r = sm._stream_right_multiply
+        orig_l = sm._stream_left_t_multiply
+        monkeypatch.setattr(sm, "_stream_right_multiply",
+                            lambda *a, **kw: (calls.__setitem__(
+                                "passes", calls["passes"] + 1),
+                                orig_r(*a, **kw))[1])
+        monkeypatch.setattr(sm, "_stream_left_t_multiply",
+                            lambda *a, **kw: (calls.__setitem__(
+                                "passes", calls["passes"] + 1),
+                                orig_l(*a, **kw))[1])
+        a = _lowrank(rng, 160, 110, 5).astype(np.float32)
+        for finish, stages in (("utv", ("round1", "b?")),
+                               ("rowspace_utv", ("zq_final", "c_final"))):
+            ck = str(tmp_path / f"ck_{finish}")
+            u1, s1, v1 = rsvd_streaming(a, k=5, p=5, q=2, panel_rows=40,
+                                        finish=finish, checkpoint_dir=ck)
+            calls["passes"] = 0
+            u2, s2, v2 = rsvd_streaming(a, k=5, p=5, q=2, panel_rows=40,
+                                        finish=finish, checkpoint_dir=ck)
+            assert calls["passes"] == 0, finish
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+            np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            # partial crash: drop the final stage, resume must only
+            # replay the missing passes
+            final = "c_final" if finish == "rowspace_utv" else "zb_final"
+            os.remove(os.path.join(ck, f"{final}.npy"))
+            calls["passes"] = 0
+            u3, s3, v3 = rsvd_streaming(a, k=5, p=5, q=2, panel_rows=40,
+                                        finish=finish, checkpoint_dir=ck)
+            assert calls["passes"] == 1, finish
+            np.testing.assert_allclose(np.asarray(s3), np.asarray(s1),
+                                       rtol=1e-6)
