@@ -42,6 +42,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.deim import (  # noqa: F401
     deim_projector,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.diagnostics import (  # noqa: F401
+    factor_health,
     factorization_error_estimate,
     principal_angles,
     range_error_estimate,
@@ -127,6 +128,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.rlu import (  # noqa: F401
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.utv import (  # noqa: F401
     rutv,
     rutv_reconstruct,
+    utv_rescore,
 )
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.tucker import (  # noqa: F401
     tucker,

@@ -88,6 +88,60 @@ def subspace_distance(u, v) -> jax.Array:
     return jnp.sqrt(jnp.maximum(1.0 - jnp.min(cos) ** 2, 0.0))
 
 
+@jax.jit
+def _factor_health_device(u, s, v):
+    """Five scalars, one fused program: [finite, max |col-norm(U) - 1|,
+    max |V^T V - I|, worst ascending violation of s, min s]."""
+    finite = (jnp.all(jnp.isfinite(u)) & jnp.all(jnp.isfinite(s))
+              & jnp.all(jnp.isfinite(v)))
+    ucol = jnp.max(jnp.abs(jnp.sqrt(jnp.sum(u * u, axis=0)) - 1.0))
+    vtv = _mm(v.T, v, _HI)
+    vort = jnp.max(jnp.abs(vtv - jnp.eye(vtv.shape[0], dtype=vtv.dtype)))
+    asc = jnp.max(jnp.concatenate(
+        [jnp.diff(s), jnp.zeros((1,), s.dtype)]))
+    stats = jnp.stack([finite.astype(s.dtype), ucol, vort, asc,
+                       jnp.min(s)])
+    # NaN factors must make every stat read as unhealthy, not propagate
+    # into a NaN that compares False against thresholds by accident
+    return jnp.where(finite, stats,
+                     jnp.stack([jnp.zeros((), s.dtype)] + [jnp.full(
+                         (), jnp.inf, s.dtype)] * 4))
+
+
+def factor_health(u, s, v, tol: float = 1e-2) -> dict:
+    """Cheap POST-HOC health check of a factorization triple — the
+    library-level signal `cholqr1`'s serving contract lacks (VERDICT r4
+    item 5: the fastest serving config returns NaNs on rank-deficient
+    input with no flag outside the CLI).
+
+    One fused device program + ONE 5-element fetch, off the serving
+    path.  Checks the contracts every finish shares: all entries finite,
+    U unit-column (orthonormal U also passes — unit columns are the
+    weaker UTV-finish guarantee), V orthonormal, s descending.  Returns
+    ``{"ok": bool, "finite": bool, "u_col_err": float, "v_orth_err":
+    float, "s_ascending_violation": float, "s_min": float}``; ``ok`` is
+    the conjunction at ``tol`` (default 1e-2 — loose enough for the
+    cholqr1/polar O(eps cond^2) serving orthogonality, tight enough that
+    NaNs, zeroed columns, or a polar rank-deficiency collapse all
+    trip it).
+    """
+    import numpy as np
+
+    stats = np.asarray(jax.device_get(_factor_health_device(u, s, v)))
+    finite = bool(stats[0] > 0.5)
+    out = {
+        "finite": finite,
+        "u_col_err": float(stats[1]),
+        "v_orth_err": float(stats[2]),
+        "s_ascending_violation": float(stats[3]),
+        "s_min": float(stats[4]),
+    }
+    out["ok"] = (finite and out["u_col_err"] < tol
+                 and out["v_orth_err"] < tol
+                 and out["s_ascending_violation"] <= 0.0)
+    return out
+
+
 @partial(jax.jit, static_argnames=("num_iters",))
 def spectral_norm_estimate(a, seed=0, num_iters: int = 30) -> jax.Array:
     """||A||_2 estimate by power iteration on the Gram operator (B-free

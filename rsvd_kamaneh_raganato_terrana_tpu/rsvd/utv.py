@@ -77,3 +77,38 @@ def rutv_reconstruct(u, t, v, k: int = 0):
     if k and k > 0:
         u, t = u[:, :k], t[:k, :]
     return _mm(_mm(u, t), v.T)
+
+
+@jax.jit
+def utv_rescore(u, s, v):
+    """Exact SVD of a UTV-finish approximant — the OFF-CRITICAL-PATH
+    sigma rescore for serving monitoring (VERDICT r4 item 6).
+
+    The ``finish='utv'``/``'rowspace_utv'`` weights s are column norms of
+    the triangular middle factor: they track sigma only on gapped spectra
+    (measured 0.27% at ratio 0.3 but 26% at 0.5 — rsvd.driver docstring).
+    Given the returned (U unit-column, s, V orthonormal), the approximant
+    M = U diag(s) V^T has the exact factorization
+
+        G = diag(s) U^T U diag(s)  ->  eigh -> (sigma^2, W),
+        U* = U diag(s) W / sigma,   V* = V W,   M = U* diag(sigma) V*^T,
+
+    so one tall Gram + one l x l eigh + two thin GEMMs recover TRUE
+    singular values/vectors of the rank-l approximant to arithmetic
+    accuracy — identical to what the eigh tail would have returned.  This
+    function shares NO code path with the serving finishes (they remain
+    eigh-free); run it on the monitoring side, never in the serving loop.
+    Returns (U*, sigma descending, V*); directions whose sigma sits at
+    the roundoff floor are zeroed rather than normalized noise."""
+    f = u * s[None, :]
+    g = _mm(f.T, f)
+    lam, w = jnp.linalg.eigh(g)                     # ascending
+    lam = jnp.maximum(lam[::-1], 0.0)
+    w = w[:, ::-1]
+    sigma = jnp.sqrt(lam)
+    safe = jnp.maximum(sigma, jnp.finfo(u.dtype).tiny)
+    u_true = _mm(f, w / safe[None, :])
+    live = lam > jnp.maximum(
+        jnp.finfo(u.dtype).eps * lam[0], jnp.finfo(u.dtype).tiny)
+    u_true = jnp.where(live[None, :], u_true, 0.0)
+    return u_true, sigma, _mm(v, w)

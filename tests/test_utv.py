@@ -248,3 +248,62 @@ def test_utv_weights_keep_f64_precision():
     np.testing.assert_allclose(float((s_np ** 2).sum()),
                                float((np.asarray(s_p) ** 2).sum()),
                                rtol=1e-12)
+
+
+class TestUtvRescore:
+    """utv_rescore: exact off-critical-path sigma for UTV serving
+    monitoring (VERDICT r4 item 6).  Must match the eigh tail to
+    arithmetic accuracy even where the fold weights mistrack by 26%
+    (spectral-gap ratio 0.5)."""
+
+    def test_rescore_matches_eigh_tail_on_ungapped_spectrum(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import utv_rescore
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+
+        n = 30
+        a = jnp.asarray(_spectrum_matrix(100, n, 0.5 ** np.arange(n),
+                                         seed=31))
+        u, s, v = rsvd(a, k=0, p=14, q=2, finish="utv")
+        _, s_eigh, _ = rsvd(a, k=0, p=14, q=2, method="eigh",
+                            finish="project")
+        # weights DO mistrack here (the documented 26%-at-0.5 regime) ...
+        assert np.abs(np.asarray(s) / np.asarray(s_eigh) - 1.0).max() \
+            > 0.02
+        # ... and the rescore recovers the eigh tail's sigma exactly
+        u_r, sigma, v_r = utv_rescore(u, s, v)
+        np.testing.assert_allclose(np.asarray(sigma), np.asarray(s_eigh),
+                                   rtol=2e-12)
+
+    def test_rescored_factors_are_an_exact_svd(self):
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import utv_rescore
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd
+
+        a = jnp.asarray(_spectrum_matrix(
+            90, 60, np.geomspace(1, 1e-3, 60), seed=32))
+        u, s, v = rsvd(a, k=0, p=12, q=2, finish="rowspace_utv")
+        u_r, sigma, v_r = utv_rescore(u, s, v)
+        l = 12
+        # same approximant, now with orthonormal U and true sigma
+        m1 = np.asarray(u) * np.asarray(s)[None, :] @ np.asarray(v).T
+        m2 = (np.asarray(u_r) * np.asarray(sigma)[None, :]
+              @ np.asarray(v_r).T)
+        np.testing.assert_allclose(m2, m1, atol=1e-12)
+        eye = np.eye(u_r.shape[1])
+        assert np.abs(np.asarray(u_r.T @ u_r) - eye).max() < 1e-10
+        assert np.abs(np.asarray(v_r.T @ v_r) - eye).max() < 1e-10
+        assert np.all(np.diff(np.asarray(sigma)) <= 1e-15)
+
+    def test_rescore_zeroes_floor_directions(self):
+        """Rank-deficient approximant: directions at the roundoff floor
+        come back zeroed, not as normalized noise."""
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd import utv_rescore
+
+        rng = np.random.default_rng(33)
+        u, _ = np.linalg.qr(rng.standard_normal((50, 6)))
+        v, _ = np.linalg.qr(rng.standard_normal((40, 6)))
+        s = np.array([3.0, 2.0, 1.0, 0.5, 0.0, 0.0])
+        u_r, sigma, v_r = utv_rescore(jnp.asarray(u), jnp.asarray(s),
+                                      jnp.asarray(v))
+        assert np.linalg.norm(np.asarray(u_r)[:, 4:]) < 1e-12
+        np.testing.assert_allclose(np.asarray(sigma)[:4], s[:4],
+                                   rtol=1e-12)
