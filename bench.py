@@ -65,6 +65,14 @@ INTERIOR = os.environ.get("BENCH_INTERIOR_QR", "robust1")
 # 'project' (reference-parity 2q+2 passes) or 'rowspace' (2q+1 passes,
 # one fewer read of A — rsvd_with_omega docstring).
 FINISH = os.environ.get("BENCH_FINISH", "project")
+# BENCH_SYNTH=1: generate A with DEVICE-side RNG instead of host H2D.
+# Required for never-compiled multi-GiB shapes — a cold compile combined
+# with a multi-GiB H2D has killed the relay transport (CLAUDE.md "Giant
+# single dispatches").  The timed program is identical (A is a traced
+# argument either way); the NumPy baseline/parity check is replaced by
+# an on-device reconstruction error (err_ratio_vs_numpy reported against
+# the device-computed truncation floor of the same run protocol).
+SYNTH = os.environ.get("BENCH_SYNTH", "0") == "1"
 # final-orthonormalization QR ('robust' = CholeskyQR2 + fallback;
 # 'robust1' = single-pass CholeskyQR — serving-mode experiment: halves
 # the tail QR chain at ~sqrt(eps) looser Q orthogonality).
@@ -110,9 +118,15 @@ def main():
     )
 
     log(f"devices: {jax.devices()}")
-    rng = np.random.default_rng(0)
-    a_np = rng.standard_normal((M, N)).astype(DTYPE)
-    a = jnp.asarray(a_np)
+    if SYNTH:
+        a_np = None
+        a = jax.block_until_ready(jax.random.normal(
+            jax.random.PRNGKey(0), (M, N), jnp.float32))
+        log("BENCH_SYNTH: device-side operand (no H2D)")
+    else:
+        rng = np.random.default_rng(0)
+        a_np = rng.standard_normal((M, N)).astype(DTYPE)
+        a = jnp.asarray(a_np)
     l = K + P
 
     @jax.jit
@@ -223,25 +237,43 @@ def main():
         flops *= (2 * Q + 1) / (2 * Q + 2)
     gflops = flops / ondevice_s / 1e9
 
-    log("numpy baseline (same algorithm, BLAS)")
-    t0 = time.perf_counter()
-    u_n, s_n, vt_n = numpy_rsvd(a_np, l, Q)
-    cpu_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    numpy_rsvd(a_np, l, Q)
-    cpu_s = min(cpu_s, time.perf_counter() - t0)
-    log(f"numpy rsvd {cpu_s * 1e3:.1f} ms")
+    if SYNTH:
+        # no host copy of A exists: compute the reconstruction error ON
+        # DEVICE (one program, 1-element fetch) and compare against the
+        # iid-Gaussian truncation floor sqrt((min(M,N) - K)/min(M,N))
+        # * ||A||_F — exact in expectation for this operand class, and
+        # the quantity the H2D runs' numpy parity converges to
+        @jax.jit
+        def device_err(x, u_, s_, v_):
+            rec = (u_[:, :K] * s_[:K][None, :]) @ v_[:, :K].T
+            return jnp.linalg.norm(x - rec), jnp.linalg.norm(x)
+        e_dev, a_norm = (float(x) for x in device_err(a, u, s, v))
+        floor = float(np.sqrt((min(M, N) - K) / min(M, N))) * a_norm
+        ours, theirs = e_dev, floor
+        cpu_s = float("nan")
+        log(f"on-device recon err={e_dev:.2f} iid floor={floor:.2f}")
+    else:
+        log("numpy baseline (same algorithm, BLAS)")
+        t0 = time.perf_counter()
+        u_n, s_n, vt_n = numpy_rsvd(a_np, l, Q)
+        cpu_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        numpy_rsvd(a_np, l, Q)
+        cpu_s = min(cpu_s, time.perf_counter() - t0)
+        log(f"numpy rsvd {cpu_s * 1e3:.1f} ms")
 
-    log("parity check")
-    ours = recon_err(a_np, np.asarray(u), np.asarray(s), np.asarray(v), False)
-    theirs = recon_err(a_np, u_n, s_n, vt_n, True)
-    log(f"recon err ours={ours:.2f} numpy={theirs:.2f}")
+        log("parity check")
+        ours = recon_err(a_np, np.asarray(u), np.asarray(s),
+                         np.asarray(v), False)
+        theirs = recon_err(a_np, u_n, s_n, vt_n, True)
+        log(f"recon err ours={ours:.2f} numpy={theirs:.2f}")
 
     print(json.dumps({
         "metric": f"rsvd_{M}x{N}_rank{K}_wallclock",
         "value": round(ondevice_s * 1e3, 3),
         "unit": "ms",
-        "vs_baseline": round(cpu_s / ondevice_s, 2),
+        "vs_baseline": (round(cpu_s / ondevice_s, 2)
+                        if np.isfinite(cpu_s) else None),
         "ondevice_ms": round(ondevice_s * 1e3, 3),
         "chain_ms": round(chain_s * 1e3, 3),
         "gflops": round(gflops, 1),
@@ -250,7 +282,9 @@ def main():
         "finish": FINISH,
         "qr_method": QR_METHOD,
         "device": str(jax.devices()[0]),
-        "baseline_cpu_ms": round(cpu_s * 1e3, 1),
+        "baseline_cpu_ms": (round(cpu_s * 1e3, 1)
+                            if np.isfinite(cpu_s) else None),
+        "synth_operand": SYNTH,
     }))
 
 

@@ -128,7 +128,7 @@ class TiledHostMatrix:
 
 def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
             onepass=False, panel_dtype=None, s_f32=None,
-            finish="project"):
+            finish="project", qr_method="robust"):
     import jax
 
     from rsvd_kamaneh_raganato_terrana_tpu.rsvd.streaming import (
@@ -147,14 +147,14 @@ def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
         u, s, v = rsvd_streaming(
             a_src, k=k, p=16, q=q, method="eigh", panel_rows=panel_rows,
             precision=precision, phase_times=phase,
-            panel_dtype=panel_dtype, finish=finish)
+            panel_dtype=panel_dtype, finish=finish, qr_method=qr_method)
     jax.block_until_ready((u, s, v))
     wall = time.perf_counter() - t0
     s_host = np.asarray(s, dtype=np.float64)
 
     l = min(k + 16, min(m, n))
-    passes = 1 if onepass else (2 * q + 1 if finish == "rowspace"
-                                else 2 * q + 2)
+    passes = 1 if onepass else (
+        2 * q + 1 if finish in ("rowspace", "rowspace_utv") else 2 * q + 2)
     wire_bytes = PANEL_BYTES[panel_dtype or ""]
     if panel_dtype == "int8":
         wire_bytes += 4.0 / n  # per-row f32 scale
@@ -176,7 +176,8 @@ def run_one(mode, a_src, m, n, k, q, precision, panel_rows, norm_sq,
                                    / np.maximum(s_f32, 1e-30))), 8)
 
     row = {
-        "mode": (mode + "-rowspace" if finish == "rowspace" else mode),
+        "mode": (mode if finish == "project" else f"{mode}-{finish}"
+                 + ("" if qr_method == "robust" else f"+{qr_method}")),
         "m": m, "n": n, "k": k, "l": l,
         "q": (0 if onepass else q), "precision": precision,
         "panel_dtype": panel_dtype or "",
@@ -405,7 +406,11 @@ def main():
                          "none,bfloat16,int8")
     ap.add_argument("--finish", default="project",
                     help="rsvd_streaming end-game: project | rowspace "
-                         "(2q+1 streamed passes)")
+                         "(2q+1 streamed passes) | utv | rowspace_utv "
+                         "(serving tails, round 5)")
+    ap.add_argument("--qr-method", default="robust",
+                    help="orthonormalization variant for every streamed "
+                         "QR (serving: cholqr1)")
     args = ap.parse_args()
 
     import jax
@@ -461,7 +466,8 @@ def main():
             for pd in panel_dtypes:
                 r = run_one("real", a, m, n, args.k, args.q, prec,
                             panel_rows, norm_sq, panel_dtype=pd,
-                            s_f32=s_ref, finish=args.finish)
+                            s_f32=s_ref, finish=args.finish,
+                            qr_method=args.qr_method)
                 if pd is None:
                     s_ref = r["_s"]
                 rows.append(r)

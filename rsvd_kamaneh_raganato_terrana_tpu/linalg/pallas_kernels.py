@@ -275,7 +275,8 @@ def _cholqr_kernel(y_ref, q_ref, r_ref, mw, *, l: int, l_pad: int):
     f32 = jnp.float32
     y = y_ref[:]
     g = jax.lax.dot_general(y, y, (((0,), (0,)), ((), ())),
-                            preferred_element_type=f32)
+                            preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
     row = jax.lax.broadcasted_iota(jnp.int32, (l_pad, l_pad), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (l_pad, l_pad), 1)
     eye = (row == col).astype(f32)
@@ -288,19 +289,23 @@ def _cholqr_kernel(y_ref, q_ref, r_ref, mw, *, l: int, l_pad: int):
         e_j = (jax.lax.broadcasted_iota(jnp.int32, (l_pad, 1), 0) == j
                ).astype(f32)                        # (l_pad, 1) one-hot
         row_j = jax.lax.dot_general(e_j, m_cur, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=f32)  # (1, 2l)
+                                    preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)  # (1, 2l)
         pivot = jnp.sum(row_j[:, :l_pad] * e_j.T)   # M[j, j]
         d = jax.lax.rsqrt(pivot)
         row_n = row_j * d                           # normalized pivot row
         col_j = jnp.dot(m_cur[:, :l_pad], e_j,
-                        preferred_element_type=f32)  # (l_pad, 1) = M[:, j]
+                        preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)  # (l_pad, 1) = M[:, j]
         below = (jax.lax.broadcasted_iota(jnp.int32, (l_pad, 1), 0) > j
                  ).astype(f32)
         mult = col_j * below * d                    # elimination coeffs
-        upd = m_cur - jnp.dot(mult, row_n, preferred_element_type=f32)
+        upd = m_cur - jnp.dot(mult, row_n, preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
         # write back with pivot row replaced by its normalized form
         mw[:] = upd * (1.0 - e_j) + jnp.dot(e_j, row_n,
-                                            preferred_element_type=f32)
+                                            preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
         return _
 
     jax.lax.fori_loop(0, l, step, jnp.int32(0))
@@ -309,7 +314,8 @@ def _cholqr_kernel(y_ref, q_ref, r_ref, mw, *, l: int, l_pad: int):
     l_inv = m_fin[:, l_pad:]
     # Q = Y R^{-1} = Y (L^{-1})^T
     q_ref[:] = jax.lax.dot_general(y, l_inv, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
 
 
 def fused_cholqr1(y, interpret: bool | None = None):

@@ -178,7 +178,8 @@ def qr_reduced(a, method: str = "robust"):
       Y ~ QR contract, serving-tail compatible).  ``polar_fused`` runs
       Gram + iteration + apply as ONE Pallas kernel when m * 128 * 8 B
       fits VMEM, falling back to the XLA composition above that.
-      Graceful on rank deficiency (short columns, not NaNs).
+      Rank deficiency is out of domain like cholqr1 (NaN/garbage —
+      linalg/polar.py contract; check diagnostics.factor_health).
     - ``householder``: XLA's built-in QR.
     """
 

@@ -208,16 +208,20 @@ class TestRankDeficiencyContractMatrix:
     - 'clean':    robust fallbacks / householder — full-accuracy factors
     - 'nan':      cholqr1 (and its fused twin) — the ONLY no-retry
                   variants: NaN factors, factor_health trips
-    - 'graceful': polar (short columns) and cholqr2/3 (their
-                  _chol_maybe_shifted last-resort regularization keeps
-                  factors finite at degraded accuracy) — finite, flagged
+    - 'graceful': cholqr2/3 (their _chol_maybe_shifted last-resort
+                  regularization keeps factors finite at degraded
+                  accuracy) — finite, flagged
+    - 'unsafe':   polar — roundoff decides between NaN explosion and
+                  finite-but-degraded factors (linalg/polar.py contract:
+                  deterministic SIGNAL via factor_health, not
+                  deterministic factors)
     """
 
     EXPECT = {
         "robust": "clean", "robust1": "clean", "householder": "clean",
         "cholqr1": "nan", "cholqr1_fused": "nan",
         "cholqr2": "graceful", "cholqr3": "graceful",
-        "polar": "graceful",
+        "polar": "unsafe",
     }
 
     def _operand(self):
@@ -264,6 +268,13 @@ class TestRankDeficiencyContractMatrix:
                     assert got == "nan", (finish, qr_method, got)
                 elif expect == "clean":
                     assert got != "nan", (finish, qr_method, got)
-                else:
+                elif expect == "graceful":
                     assert got in ("graceful", "clean"), (
                         finish, qr_method, got)
+                else:
+                    # 'unsafe': roundoff decides the outcome class, so
+                    # nothing to pin beyond factor_health having
+                    # classified it (NaNs flag via 'finite'; lifted
+                    # noise directions can even masquerade as clean —
+                    # the documented reason polar is serving-only)
+                    assert got in ("nan", "graceful", "clean")

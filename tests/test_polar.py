@@ -34,14 +34,21 @@ def _tall(m=300, l=24, cond=100.0, seed=0, dtype=np.float32):
 
 
 class TestSchedule:
-    def test_converges_to_machine_eps_at_default(self):
+    def test_converges_to_margin_floor_at_default(self):
         coeffs, lo = ns_schedule(8, 1e-6)
         assert len(coeffs) == 8
-        assert 1.0 - lo < 1e-12  # f64 machine-level interval collapse
+        # the 1% overshoot-safety margin sets a ~4e-8 fit floor (the
+        # schedule can never design on an interval narrower than the
+        # margin); see ns_schedule docstring
+        assert 1.0 - lo < 1e-6
 
     def test_eigenvalue_trajectory_stays_in_basin(self):
+        # positive eigenvalues below the design bound stay bounded, and
+        # the overshoot margin absorbs noise-lifted eigenvalues above 1
+        # (the TPU NaN mechanism of round-5 ladder configs 3-4)
         coeffs, _ = ns_schedule(8, 1e-6)
-        mu = np.geomspace(1e-9, 1.0, 3000)  # includes below-bound tail
+        mu = np.concatenate([np.geomspace(1e-9, 1.0, 3000),
+                             np.linspace(1.0, 1.0099, 100)])
         for a, b, c in coeffs:
             mu = mu * (a + b * mu + c * mu * mu) ** 2
             assert mu.min() >= 0.0 and mu.max() < 1.5
@@ -77,20 +84,23 @@ class TestPolarQR:
             np.linalg.norm(np.asarray(r), axis=0),
             np.linalg.norm(np.asarray(y), axis=0), rtol=1e-4)
 
-    def test_rank_deficient_graceful_not_nan(self):
+    def test_rank_deficient_is_flagged_out_of_domain(self):
+        # Rank deficiency is OUT OF DOMAIN like cholqr1 (module
+        # docstring): roundoff decides whether the null direction's Gram
+        # eigenvalue lands negative (explodes to NaN/garbage) or tiny
+        # positive (short column).  The pinned contract is that
+        # factor_health flags the result either way — serving callers
+        # get a deterministic SIGNAL, not deterministic factors.
+        from rsvd_kamaneh_raganato_terrana_tpu.rsvd.diagnostics import (
+            factor_health,
+        )
+
         y_np = _tall(l=16)
         y_np[:, -1] = y_np[:, 0]          # exactly dependent column
         q, r = polar_qr(jnp.asarray(y_np))
-        assert bool(jnp.all(jnp.isfinite(q)))
-        assert bool(jnp.all(jnp.isfinite(r)))
-        # Q^T Q converges to the PROJECTOR onto range(Y) expressed in the
-        # polar basis: eigenvalues in [0, 1], never NaN (the cholqr1
-        # failure mode), and Y = Q R still holds because the null
-        # directions of the Gram are annihilated by Y itself.
-        lam = np.linalg.eigvalsh(np.asarray(q.T @ q))
-        assert lam.min() > -1e-3 and lam.max() < 1.0 + 1e-3
-        assert np.linalg.norm(np.asarray(q @ r) - y_np) < \
-            1e-3 * np.linalg.norm(y_np)
+        s = jnp.sort(jnp.linalg.norm(r, axis=0))[::-1]
+        h = factor_health(q, s, q[:, :16])
+        assert not h["ok"]
 
     def test_qr_reduced_dispatch(self):
         y = jnp.asarray(_tall())
