@@ -213,8 +213,11 @@ def main():
 
     # wide rep spread: the slope must rise well above relay RTT jitter
     # (~30 ms intercept, +-1 ms run-to-run -> a 2:8 spread resolves only
-    # ~0.3 ms/iter; 4:32 resolves ~0.07 ms/iter)
-    r_small, r_large = 4, 32
+    # ~0.3 ms/iter; 4:32 resolves ~0.07 ms/iter).  Sub-0.1 ms pipelines
+    # (small k) need ESCALATED spreads until the delta clears ~5 ms
+    # (CLAUDE.md): override with BENCH_R_SMALL/BENCH_R_LARGE.
+    r_small = int(os.environ.get("BENCH_R_SMALL", 4))
+    r_large = int(os.environ.get("BENCH_R_LARGE", 32))
     loops = {r: make_loop(r) for r in (r_small, r_large)}
     for r, fn in loops.items():
         t0 = time.perf_counter()
