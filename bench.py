@@ -212,27 +212,37 @@ def main():
         return time.perf_counter() - t0
 
     # wide rep spread: the slope must rise well above relay RTT jitter
-    # (~30 ms intercept, +-1 ms run-to-run -> a 2:8 spread resolves only
-    # ~0.3 ms/iter; 4:32 resolves ~0.07 ms/iter).  Sub-0.1 ms pipelines
-    # (small k) need ESCALATED spreads until the delta clears ~5 ms
-    # (CLAUDE.md): override with BENCH_R_SMALL/BENCH_R_LARGE.
+    # (~30 ms intercept, +-1-2 ms run-to-run).  Round-5 finding: a 4:32
+    # spread on a ~0.2 ms pipeline leaves only a ~5 ms delta — jitter
+    # distorted one such reading by -29% (the retracted 0.144 "anchor";
+    # wide spreads converged at 0.223).  The spread therefore AUTO-
+    # ESCALATES x8 until the large-minus-small delta clears 20 ms (>=10x
+    # jitter) or the cap is hit.  BENCH_R_SMALL/BENCH_R_LARGE set the
+    # STARTING spread.
     r_small = int(os.environ.get("BENCH_R_SMALL", 4))
     r_large = int(os.environ.get("BENCH_R_LARGE", 32))
-    loops = {r: make_loop(r) for r in (r_small, r_large)}
-    for r, fn in loops.items():
-        t0 = time.perf_counter()
-        timed_loop(fn, 50, r)  # compile+first
-        log(f"loop(R={r}) compile+first {time.perf_counter() - t0:.1f}s")
-    # distinct seed vectors per repetition: identical (program, input)
-    # dispatches can be deduplicated by the relay (the same hazard the
-    # chain clock defends against), which would corrupt the min()
-    t_ls = min(timed_loop(loops[r_small], 100 + 1000 * i, r_small)
-               for i in range(3))
-    t_ll = min(timed_loop(loops[r_large], 200 + 1000 * i, r_large)
-               for i in range(3))
-    ondevice_s = max((t_ll - t_ls) / (r_large - r_small), 1e-9)
-    log(f"fori_loop R={r_small}:{t_ls * 1e3:.1f} ms R={r_large}:"
-        f"{t_ll * 1e3:.1f} ms -> on-device {ondevice_s * 1e3:.3f} ms/iter")
+    while True:
+        loops = {r: make_loop(r) for r in (r_small, r_large)}
+        for r, fn in loops.items():
+            t0 = time.perf_counter()
+            timed_loop(fn, 50, r)  # compile+first
+            log(f"loop(R={r}) compile+first {time.perf_counter() - t0:.1f}s")
+        # distinct seed vectors per repetition: identical (program, input)
+        # dispatches can be deduplicated by the relay (the same hazard the
+        # chain clock defends against), which would corrupt the min()
+        t_ls = min(timed_loop(loops[r_small], 100 + 1000 * i, r_small)
+                   for i in range(3))
+        t_ll = min(timed_loop(loops[r_large], 200 + 1000 * i, r_large)
+                   for i in range(3))
+        ondevice_s = max((t_ll - t_ls) / (r_large - r_small), 1e-9)
+        log(f"fori_loop R={r_small}:{t_ls * 1e3:.1f} ms R={r_large}:"
+            f"{t_ll * 1e3:.1f} ms -> on-device "
+            f"{ondevice_s * 1e3:.3f} ms/iter")
+        if t_ll - t_ls >= 0.020 or r_large >= 2048:
+            break
+        r_small, r_large = r_small * 8, r_large * 8
+        log(f"delta {1e3 * (t_ll - t_ls):.1f} ms < 20 ms resolution "
+            f"floor: escalating spread to {r_small}:{r_large}")
 
     flops = rsvd_flops(M, N, l, Q)
     if FINISH in ("rowspace", "rowspace_utv"):
