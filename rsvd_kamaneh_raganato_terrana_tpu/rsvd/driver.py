@@ -68,13 +68,110 @@ _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "bf16": jax.lax.Precision.DEFAULT,
     "bfloat16": jax.lax.Precision.DEFAULT,
+    "int8": jax.lax.Precision.DEFAULT,
 }
 _STORE_BF16 = ("bf16", "bfloat16")
+_STORE_INT8 = ("int8",)
+
+
+class Int8Stored:
+    """Row-scaled int8 storage of the stage-A operand: A ~ diag(s) Q8.
+
+    The int8 SERVING storage mode (round 5): every stage-A pass reads
+    ONE byte per element (half of bf16 storage, a quarter of f32) and
+    contracts on the MXU's native int8 path, with the scales folded
+    into the SMALL operands:
+
+        A B   ~ diag(s) (Q8 B8) diag(t),   B ~ B8 diag(t)  (per-column)
+        A^T C ~ Q8^T quant(diag(s) C)      (scales folded BEFORE the
+                                            column quantization)
+
+    Registered as a pytree (q8 + row_scale children, `transposed` as
+    static aux), so it flows through jit/vmap/sharding like an array;
+    `_mm` dispatches on it.  Per-entry quantization error is
+    ~absmax/(127*sqrt(12)) per operand (~0.5% relative for Gaussian
+    rows) — invisible under truncation-dominated serving spectra, the
+    same argument as the streaming wire's ``panel_dtype='int8'``
+    (rsvd/streaming.py), which validated these numerics at 100k scale.
+    Serving-only: quantization is not differentiable."""
+
+    def __init__(self, q8, row_scale, transposed: bool = False):
+        self.q8 = q8
+        self.row_scale = row_scale
+        self.transposed = transposed
+
+    @property
+    def T(self):
+        return Int8Stored(self.q8, self.row_scale, not self.transposed)
+
+    @property
+    def shape(self):
+        m, n = self.q8.shape
+        return (n, m) if self.transposed else (m, n)
+
+    @property
+    def dtype(self):          # logical compute dtype of the products
+        return self.row_scale.dtype
+
+    def tree_flatten(self):
+        return (self.q8, self.row_scale), self.transposed
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+jax.tree_util.register_pytree_node(
+    Int8Stored,
+    lambda x: x.tree_flatten(),
+    Int8Stored.tree_unflatten,
+)
+
+
+def quantize_int8_rows(a) -> Int8Stored:
+    """Per-row absmax int8 quantization of A (serving storage mode)."""
+    a = jnp.asarray(a)
+    out_dtype = jnp.promote_types(a.dtype, jnp.float32)
+    absmax = jnp.max(jnp.abs(a), axis=1, keepdims=True)
+    scale = jnp.maximum(absmax, jnp.finfo(out_dtype).tiny) / 127.0
+    q8 = jnp.round(a / scale).astype(jnp.int8)
+    return Int8Stored(q8, scale[:, 0].astype(out_dtype))
+
+
+def _quant_cols(b):
+    """(B8, t): per-column int8 quantization of a small dense operand."""
+    t = jnp.maximum(jnp.max(jnp.abs(b), axis=0, keepdims=True),
+                    jnp.finfo(b.dtype).tiny) / 127.0
+    return jnp.round(b / t).astype(jnp.int8), t
+
+
+def _int8_mm(a: Int8Stored, b):
+    """A @ B (or A^T @ B when a.transposed) on the native int8 MXU path;
+    result in b's dtype."""
+    out_dtype = jnp.promote_types(b.dtype, jnp.float32)
+    if a.transposed:
+        # A^T B = Q8^T (diag(s) B): fold the row scales into the small
+        # operand BEFORE quantizing it (costs m*l flops, keeps one
+        # quantization step on the chain)
+        b8, t = _quant_cols(b * a.row_scale[:, None].astype(b.dtype))
+        z32 = jax.lax.dot_general(a.q8, b8, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return z32.astype(out_dtype) * t.astype(out_dtype)
+    b8, t = _quant_cols(b)
+    y32 = jax.lax.dot_general(a.q8, b8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (y32.astype(out_dtype) * a.row_scale[:, None]
+            * t.astype(out_dtype))
 
 
 def _mm(a, b, precision=DOT_PRECISION):
     from jax.experimental import sparse as jsparse
 
+    if isinstance(a, Int8Stored):
+        return _int8_mm(a, b)
+    if isinstance(b, Int8Stored):
+        # X @ A = (A^T @ X^T)^T — one transposed int8 product
+        return _int8_mm(b.T, a.T).T
     if isinstance(a, jsparse.JAXSparse) or isinstance(b, jsparse.JAXSparse):
         # sparse operand (BCOO interaction matrices — the recsys_embed
         # role): sparse-dense product, precision flags don't apply
@@ -215,6 +312,13 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
         # one cast, then every stage-A pass reads bf16 (half/quarter the
         # HBM bytes); _mm keeps f32 accumulation via preferred_element_type
         a_stage = a.astype(jnp.bfloat16)
+    elif precision in _STORE_INT8 \
+            and not isinstance(a, jsparse.JAXSparse):
+        # int8 SERVING storage: one quantization, then every stage-A
+        # pass reads ONE byte/element on the native int8 MXU path
+        # (Int8Stored docstring; ~0.5%/operand quantization noise —
+        # truncation-dominated serving spectra only)
+        a_stage = quantize_int8_rows(a)
     if finish in ("rowspace", "rowspace_utv"):
         if q < 1:
             raise ValueError(f"finish={finish!r} needs q >= 1 (its final "

@@ -1,0 +1,128 @@
+"""int8 stage-A storage mode (round 5): A quantized ONCE to row-scaled
+int8, every stage-A pass on the native int8 MXU contraction path with
+scales folded into the small operands (rsvd.driver.Int8Stored).  One
+byte/element/pass — half of bf16 storage — for truncation-dominated
+serving spectra."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+    Int8Stored,
+    _mm,
+    generate_omega,
+    quantize_int8_rows,
+    reconstruction_error,
+    rsvd,
+    rsvd_with_omega,
+)
+
+
+def _decaying(m, n, lo=1e-3, seed=0):
+    rng = np.random.default_rng(seed)
+    u, _ = np.linalg.qr(rng.standard_normal((m, min(m, n))))
+    v, _ = np.linalg.qr(rng.standard_normal((n, min(m, n))))
+    s = np.geomspace(1.0, lo, min(m, n))
+    return ((u * s) @ v.T).astype(np.float32)
+
+
+class TestInt8Stored:
+    def test_quantization_error_bound(self):
+        a = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (50, 200)).astype(np.float32))
+        st = quantize_int8_rows(a)
+        rec = (st.q8.astype(jnp.float32)
+               * st.row_scale[:, None])
+        # per-entry error <= half a quantization step of that row
+        err = np.abs(np.asarray(rec) - np.asarray(a))
+        bound = 0.5 * np.asarray(st.row_scale)[:, None] + 1e-8
+        assert (err <= bound).all()
+
+    def test_mm_forward_and_transposed(self):
+        rng = np.random.default_rng(1)
+        a_np = rng.standard_normal((120, 80)).astype(np.float32)
+        b_np = rng.standard_normal((80, 12)).astype(np.float32)
+        c_np = rng.standard_normal((120, 12)).astype(np.float32)
+        st = quantize_int8_rows(jnp.asarray(a_np))
+        y = np.asarray(_mm(st, jnp.asarray(b_np)))
+        z = np.asarray(_mm(st.T, jnp.asarray(c_np)))
+        # two int8 operands -> ~1% relative error on the products
+        assert np.linalg.norm(y - a_np @ b_np) < \
+            0.03 * np.linalg.norm(a_np @ b_np)
+        assert np.linalg.norm(z - a_np.T @ c_np) < \
+            0.03 * np.linalg.norm(a_np.T @ c_np)
+
+    def test_mm_right_operand(self):
+        """X @ A (the project finish's B = Q^T A shape) routes through
+        the transposed int8 product."""
+        rng = np.random.default_rng(2)
+        a_np = rng.standard_normal((100, 60)).astype(np.float32)
+        x_np = rng.standard_normal((8, 100)).astype(np.float32)
+        st = quantize_int8_rows(jnp.asarray(a_np))
+        out = np.asarray(_mm(jnp.asarray(x_np), st))
+        assert out.shape == (8, 60)
+        ref = x_np @ a_np
+        assert np.linalg.norm(out - ref) < 0.03 * np.linalg.norm(ref)
+
+    def test_pytree_jits_and_shapes(self):
+        a = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (40, 30)).astype(np.float32))
+        st = quantize_int8_rows(a)
+        assert st.shape == (40, 30) and st.T.shape == (30, 40)
+
+        @jax.jit
+        def f(s, b):
+            return _mm(s, b)
+
+        out = f(st, jnp.ones((30, 4), jnp.float32))
+        assert out.shape == (40, 4)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestInt8ServingPipeline:
+    @pytest.mark.parametrize("finish", ["project", "rowspace_utv"])
+    def test_parity_on_truncation_dominated_spectrum(self, finish):
+        """err(int8 storage) within a few percent of the default path
+        when truncation error dominates the ~0.5% quantization noise."""
+        a = jnp.asarray(_decaying(200, 150, lo=1e-2))
+        k = 12
+        omega = generate_omega(0, 150, k + 8, jnp.float32)
+        kw = dict(q=2, k=k, method="eigh", reorth="half", finish=finish)
+        if finish == "rowspace_utv":
+            kw.update(qr_method="cholqr1", interior_qr="cholqr1")
+        u8, s8, v8 = rsvd_with_omega(a, omega, precision="int8", **kw)
+        uf, sf, vf = rsvd_with_omega(a, omega, precision="default", **kw)
+        e8 = float(reconstruction_error(a, u8, s8, v8))
+        ef = float(reconstruction_error(a, uf, sf, vf))
+        assert e8 < 1.1 * ef + 1e-6, (finish, e8, ef)
+
+    def test_near_rank_k_shows_the_quant_floor(self):
+        """On a near-exactly-rank-k operand the int8 floor IS visible —
+        the documented reason this is a serving mode, not a default."""
+        rng = np.random.default_rng(5)
+        a_np = (rng.standard_normal((150, 15)).astype(np.float32)
+                @ rng.standard_normal((15, 100)).astype(np.float32))
+        a = jnp.asarray(a_np)
+        u8, s8, v8 = rsvd(a, k=15, p=8, q=2, method="eigh",
+                          precision="int8")
+        e8 = float(reconstruction_error(a, u8, s8, v8))
+        # not exact (quant floor) but still a faithful factorization
+        assert 1e-6 * np.linalg.norm(a_np) < e8 < \
+            0.05 * np.linalg.norm(a_np)
+
+    def test_rsvd_entry_point_accepts_int8(self):
+        a = jnp.asarray(_decaying(120, 90))
+        u, s, v = rsvd(a, k=8, p=8, q=1, method="eigh", precision="int8")
+        assert u.shape == (120, 8) and s.shape == (8,)
+        assert bool(jnp.all(jnp.isfinite(u)))
+        assert np.all(np.diff(np.asarray(s)) <= 1e-6)
+
+    def test_f64_input_keeps_f64_products(self):
+        a64 = jnp.asarray(_decaying(80, 60).astype(np.float64))
+        st = quantize_int8_rows(a64)
+        assert st.dtype == jnp.float64
+        out = _mm(st, jnp.ones((60, 3), jnp.float64))
+        assert out.dtype == jnp.float64
