@@ -313,11 +313,17 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
         # HBM bytes); _mm keeps f32 accumulation via preferred_element_type
         a_stage = a.astype(jnp.bfloat16)
     elif precision in _STORE_INT8 \
-            and not isinstance(a, jsparse.JAXSparse):
+            and not isinstance(a, (jsparse.JAXSparse, Int8Stored)):
         # int8 SERVING storage: one quantization, then every stage-A
         # pass reads ONE byte/element on the native int8 MXU path
         # (Int8Stored docstring; ~0.5%/operand quantization noise —
-        # truncation-dominated serving spectra only)
+        # truncation-dominated serving spectra only).  NOTE: quantizing
+        # here costs one f32 read of A per factorization; serving
+        # deployments that factor the same A repeatedly should call
+        # quantize_int8_rows ONCE and pass the Int8Stored directly
+        # (accepted as `a` with any precision value — measured: the
+        # in-loop quantize erases most of the HBM win, bench.py does
+        # exactly this pre-quantization for BENCH_PRECISION=int8).
         a_stage = quantize_int8_rows(a)
     if finish in ("rowspace", "rowspace_utv"):
         if q < 1:
