@@ -269,6 +269,15 @@ def main():
         # the quantity the H2D runs' numpy parity converges to
         @jax.jit
         def device_err(x, u_, s_, v_):
+            from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (
+                Int8Stored,
+            )
+
+            if isinstance(x, Int8Stored):
+                # error vs the DEQUANTIZED operand: the served product
+                # approximates diag(s) Q8, and that is the operator the
+                # factorization contract covers once A is int8-stored
+                x = x.q8.astype(jnp.float32) * x.row_scale[:, None]
             rec = (u_[:, :K] * s_[:K][None, :]) @ v_[:, :K].T
             return jnp.linalg.norm(x - rec), jnp.linalg.norm(x)
         e_dev, a_norm = (float(x) for x in device_err(a, u, s, v))
