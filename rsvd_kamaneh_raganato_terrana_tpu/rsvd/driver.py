@@ -454,9 +454,9 @@ def rsvd(
     from jax.experimental import sparse as jsparse
 
     method = SVDMethod.parse(method)
-    if not isinstance(a, jsparse.JAXSparse):
+    if not isinstance(a, (jsparse.JAXSparse, Int8Stored)):
         a = jnp.asarray(a)
-    if jnp.iscomplexobj(a):
+    if not isinstance(a, Int8Stored) and jnp.iscomplexobj(a):
         # The pipeline is real-only by design, like the reference
         # (all Eigen::MatrixXd): every Gram/projection uses .T, not a
         # conjugate transpose, so complex input would run and silently

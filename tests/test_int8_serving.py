@@ -126,3 +126,31 @@ class TestInt8ServingPipeline:
         assert st.dtype == jnp.float64
         out = _mm(st, jnp.ones((60, 3), jnp.float64))
         assert out.dtype == jnp.float64
+
+
+class TestInt8Sharded:
+    def test_sharded_int8_matches_replicated(self):
+        """A row-sharded Int8Stored operand (q8 + row_scale sharded over
+        the mesh) must produce the same factorization as the replicated
+        run — the multi-chip serving layout."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev < 2:
+            pytest.skip("needs a multi-device mesh")
+        a = jnp.asarray(_decaying(64 * n_dev, 96))
+        st = quantize_int8_rows(a)
+        mesh = make_mesh((n_dev,), ("rows",))
+        st_sh = Int8Stored(
+            jax.device_put(st.q8, NamedSharding(mesh, P("rows", None))),
+            jax.device_put(st.row_scale, NamedSharding(mesh, P("rows"))),
+        )
+        kw = dict(k=8, p=8, q=2, method="eigh", precision="int8")
+        u1, s1, v1 = rsvd(st_sh, **kw)
+        u2, s2, v2 = rsvd(st, **kw)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                                   atol=1e-5)
