@@ -1,7 +1,9 @@
 """Randomized SVD driver."""
 
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
+    Int8Stored,
     generate_omega,
+    quantize_int8_rows,
     power_refine,
     reconstruct,
     reconstruction_error,
@@ -9,6 +11,7 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import (  # noqa: F401
     rsvd_adaptive,
     rsvd_batched,
     rsvd_image_preset,
+    rsvd_onepass,
     rsvd_sharded,
     rsvd_warm,
     rsvd_with_omega,

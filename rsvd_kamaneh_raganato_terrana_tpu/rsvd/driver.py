@@ -681,6 +681,66 @@ def rsvd_adaptive(
         blocks.append(dl)
 
 
+@partial(jax.jit, static_argnames=("k", "p", "s_factor", "method",
+                                   "precision"))
+def rsvd_onepass(
+    a,
+    k: int,
+    p: int = 16,
+    s_factor: int = 2,
+    method: str = "eigh",
+    seed: int = 0,
+    precision: str | jax.lax.Precision = "highest",
+):
+    """Rank-k rSVD of an IN-CORE operand in a SINGLE pass over A
+    (two-sided sketch of Tropp, Yurtsever, Udell & Cevher 2017) — the
+    minimum-bandwidth serving mode.
+
+    The power-iterated driver reads A 2q+1..2q+2 times; this reads it
+    ONCE: the range sketch Y = A Omega and the co-range sketch
+    W = Psi^T A come from the same read (XLA schedules both
+    contractions over one streaming of A when A is the dominant
+    operand), then A ~ Q (Psi^T Q)^+ W with a small SVD finishing the
+    l x n core — the same end-game as
+    :func:`rsvd.streaming.rsvd_streaming_onepass` (that driver streams
+    host panels; this one is for device-resident A).  Accuracy is a
+    constant factor behind one power iteration — the bandwidth trade.
+    Composes with the int8 storage mode: pass a pre-quantized
+    :class:`Int8Stored` (or ``precision='int8'``) and the single pass
+    reads ONE byte per element.  Returns (U, s, V) truncated to k."""
+    from rsvd_kamaneh_raganato_terrana_tpu.core.rng import key_from_seed
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.qr import (
+        orthonormal_basis,
+        qr_reduced,
+    )
+    from rsvd_kamaneh_raganato_terrana_tpu.linalg.svd import (
+        svd as small_svd,
+    )
+
+    prec = _PRECISIONS.get(precision, precision)
+    m, n = a.shape
+    dtype = a.dtype
+    l = min(k + p, min(m, n))
+    s_cols = min(s_factor * l + 1, m)
+    a_stage = a
+    if precision in _STORE_INT8 and not isinstance(a, Int8Stored):
+        a_stage = quantize_int8_rows(a)
+    key = key_from_seed(seed)
+    k_om, k_psi = jax.random.split(key)
+    omega = jax.random.normal(k_om, (n, l), dtype)
+    psi = jax.random.normal(k_psi, (m, s_cols), dtype)
+    y = _mm(a_stage, omega, prec)                  # m x l   (THE pass)
+    w = _mm(psi.T, a_stage, prec)                  # s x n   (same read)
+    q_mat = orthonormal_basis(y, "robust")
+    p_mat = _mm(psi.T, q_mat)                      # s x l
+    qp, rp = qr_reduced(p_mat, "householder")
+    x = jax.lax.linalg.triangular_solve(
+        rp, _mm(qp.T, w), left_side=True, lower=False)   # l x n core
+    u_t, sv, v = small_svd(x, method)
+    u = _mm(q_mat, u_t)
+    return u[:, :k], sv[:k], v[:, :k]
+
+
 def reconstruct(u, s, v):
     """A_k = U diag(s) V^T."""
     return _mm(u * s[None, :], v.T)
