@@ -696,12 +696,14 @@ def rsvd_onepass(
     (two-sided sketch of Tropp, Yurtsever, Udell & Cevher 2017) — the
     minimum-bandwidth serving mode.
 
-    The power-iterated driver reads A 2q+1..2q+2 times; this reads it
-    ONCE: the range sketch Y = A Omega and the co-range sketch
-    W = Psi^T A come from the same read (XLA schedules both
-    contractions over one streaming of A when A is the dominant
-    operand), then A ~ Q (Psi^T Q)^+ W with a small SVD finishing the
-    l x n core — the same end-game as
+    The power-iterated driver reads A 2q+1..2q+2 times; this
+    algorithm touches the DATA once: the range sketch Y = A Omega and
+    the co-range sketch W = Psi^T A, then A ~ Q (Psi^T Q)^+ W with a
+    small SVD finishing the l x n core.  (In the compiled program the
+    two sketches are two GEMMs, i.e. TWO hardware reads of A — XLA
+    does not co-schedule contractions over a shared operand — so the
+    measured win over the 5-pass serving driver is ~35%, not 5x:
+    scale_ondevice.csv onepass rows.)  Same end-game as
     :func:`rsvd.streaming.rsvd_streaming_onepass` (that driver streams
     host panels; this one is for device-resident A).  Accuracy is a
     constant factor behind one power iteration — the bandwidth trade.
