@@ -200,6 +200,22 @@ def _mm(a, b, precision=DOT_PRECISION):
                       preferred_element_type=a.dtype)
 
 
+def _colnormalize(y):
+    """Diagonal column scaling to unit norms — the span-preserving
+    stand-in for interior orthonormalizations (`interior_qr='none'`,
+    see power_refine).  One reduction + one VPU scale, zero
+    factorization depth."""
+    acc = jnp.promote_types(y.dtype, jnp.float32)
+    norms = jnp.sqrt(jnp.sum(jnp.square(y.astype(acc)), axis=0))
+    return y * (1.0 / jnp.maximum(
+        norms, jnp.finfo(acc).tiny)).astype(y.dtype)[None, :]
+
+
+def _interior_basis(y, method: str):
+    return _colnormalize(y) if method == "none" else \
+        orthonormal_basis(y, method)
+
+
 def _fold_weights(tri):
     """Column norms of a triangular middle factor (the UTV finishes'
     decomposition weights) and their divide-safe floor.  Norms
@@ -228,15 +244,26 @@ def power_refine(a, q_mat, q: int, qr_method: str = "robust",
     ``interior_qr`` (default: same as ``qr_method``) is used for every
     orthonormalization except the final one before projection — interior
     bases only need to be well-conditioned, so e.g. ``'robust1'``
-    (single-pass CholeskyQR) halves the latency-bound small-op chain."""
+    (single-pass CholeskyQR) halves the latency-bound small-op chain.
+    ``interior_qr='none'`` drops the interior orthonormalizations
+    entirely and only COLUMN-NORMALIZES (a diagonal scaling): the
+    subspace span is mathematically unchanged (neither QR nor diagonal
+    scaling moves span(Y)), so the final QR recovers the same basis —
+    but WITHOUT re-orthogonalization the columns collapse onto the
+    dominant directions at rate (sigma_1/sigma_l)^(2q), and f32
+    cancellation loses the subdominant components once
+    cond(A)^(2q) ~ 1/eps: at q=2 the safe domain is cond ~<= 50.
+    Minimum-depth serving for flat/near-Gaussian spectra only
+    (tests/test_int8_serving.py::TestNoInteriorQR pins both sides)."""
     inner = qr_method if interior_qr is None else interior_qr
     for i in range(q):
         last = i == q - 1
         z = _mm(a.T, q_mat, precision)
-        if reorth == "full":
+        if reorth == "full" and inner != "none":
             z = orthonormal_basis(z, inner)
         y = _mm(a, z, precision)
-        q_mat = orthonormal_basis(y, qr_method if last else inner)
+        q_mat = (_interior_basis(y, qr_method) if last
+                 else _interior_basis(y, inner))
     return q_mat
 
 
@@ -247,7 +274,7 @@ def subspace_iteration(a, omega, q: int, qr_method: str = "robust",
     (reference intermediate_step, src/rSVD.cpp:57-70)."""
     y = _mm(a, omega, precision)
     inner = qr_method if interior_qr is None or q == 0 else interior_qr
-    q_mat = orthonormal_basis(y, inner)
+    q_mat = _interior_basis(y, inner)
     return power_refine(a, q_mat, q, qr_method, precision, reorth,
                         interior_qr)
 
@@ -331,7 +358,7 @@ def rsvd_with_omega(a, omega, q: int = 2, k: int = 0,
                              "half-round IS a power iteration)")
         inner = qr_method if interior_qr is None else interior_qr
         y = _mm(a_stage, omega, prec)
-        q_mat = orthonormal_basis(y, inner)
+        q_mat = _interior_basis(y, inner)
         # q-1 full rounds; every basis here is interior (the rowspace
         # tail re-orthonormalizes), so interior-quality QR throughout
         q_mat = power_refine(a_stage, q_mat, q - 1, inner, prec, reorth,
@@ -405,7 +432,7 @@ def rsvd_core(a, seed, *, k, p, q, method, sketch, qr_method, precision,
                              "finish='project'")
         y = fused_sketch_matmul(a, l, seed).astype(a.dtype)
         inner = qr_method if interior_qr is None or q == 0 else interior_qr
-        q_mat = orthonormal_basis(y, inner)
+        q_mat = _interior_basis(y, inner)
         q_mat = power_refine(a, q_mat, q, qr_method, prec, reorth,
                              interior_qr)
         b = _mm(q_mat.T, a, prec)

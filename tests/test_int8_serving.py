@@ -198,3 +198,65 @@ class TestOnepassInCore:
         e8 = float(reconstruction_error(a, u8, s8, v8))
         ef = float(reconstruction_error(a, uf, sf, vf))
         assert e8 < 1.1 * ef + 1e-6
+
+
+class TestNoInteriorQR:
+    """interior_qr='none': diagonal column normalization replaces the
+    interior orthonormalizations (span-preserving; power_refine
+    docstring).  Safe for cond^(2q) within f32 — ~cond <= 50 at q=2 —
+    and honestly degraded beyond it."""
+
+    def test_parity_in_the_safe_domain(self):
+        a = jnp.asarray(_decaying(256, 180, lo=1.0 / 30.0, seed=11))
+        k = 12
+        omega = generate_omega(0, 180, k + 8, jnp.float32)
+        kw = dict(q=2, k=k, reorth="half", qr_method="cholqr1",
+                  finish="rowspace_utv")
+        u0, s0, v0 = rsvd_with_omega(a, omega, interior_qr="cholqr1",
+                                     **kw)
+        un, sn, vn = rsvd_with_omega(a, omega, interior_qr="none", **kw)
+        e0 = float(reconstruction_error(a, u0, s0, v0))
+        en = float(reconstruction_error(a, un, sn, vn))
+        assert en < 1.05 * e0 + 1e-6, (en, e0)
+
+    def test_degrades_beyond_the_domain(self):
+        """The safe-domain bound is about the KEPT directions: when
+        sigma_k/sigma_1 ~ 1e-3, (sigma_k/sigma_1)^(2q) = 1e-12 is far
+        below f32 resolution, so the un-orthogonalized rounds cannot
+        hold direction k against the dominant ones — pin that the
+        degradation is real (the reason this knob is serving-only).
+        (A first attempt with a uniformly decaying spectrum showed NO
+        degradation: truncation at small k only needs the top-k
+        subspace, whose internal cond was benign — the bound is on
+        sigma_k/sigma_1, not cond(A).)"""
+        rng = np.random.default_rng(12)
+        m, n, k = 256, 180, 30
+        u, _ = np.linalg.qr(rng.standard_normal((m, n)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        s = np.concatenate([np.geomspace(1.0, 1e-3, k),
+                            np.full(n - k, 1e-6)])
+        a = jnp.asarray(((u * s) @ v.T).astype(np.float32))
+        omega = generate_omega(1, n, k + 8, jnp.float32)
+        # robust finals: the cliff spectrum is outside cholqr1's own
+        # domain (it NaNs), and this test must vary ONLY the interiors
+        kw = dict(q=2, k=k, reorth="half", qr_method="robust",
+                  finish="rowspace_utv")
+        u0, s0, v0 = rsvd_with_omega(a, omega, interior_qr="robust1",
+                                     **kw)
+        un, sn, vn = rsvd_with_omega(a, omega, interior_qr="none", **kw)
+        e0 = float(reconstruction_error(a, u0, s0, v0))
+        en = float(reconstruction_error(a, un, sn, vn))
+        assert en > 10.0 * e0, (en, e0)   # measured ~1400x
+
+    def test_composes_with_int8(self):
+        a = jnp.asarray(_decaying(256, 180, lo=0.1, seed=13))
+        st = quantize_int8_rows(a)
+        u, s, v = rsvd_with_omega(
+            st, generate_omega(2, 180, 20, jnp.float32), q=2, k=12,
+            precision="int8", reorth="half", qr_method="cholqr1",
+            interior_qr="none", finish="rowspace_utv")
+        e = float(reconstruction_error(a, u, s, v))
+        s_true = np.linalg.svd(np.asarray(a, np.float64),
+                               compute_uv=False)
+        opt = float(np.sqrt((s_true[12:] ** 2).sum()))
+        assert e < 1.2 * opt
