@@ -19,9 +19,10 @@ hardware is best at.
 
 Algorithm: per-iteration near-minimax degree-2 polynomial p_k with
 
-    W   <- W  p_k(H),      H <- H p_k(H)^2,       W_0 = p_1 path,
+    W   <- W  p_k(H),      H = W^T G~ W   (recomputed every iteration),
 
-where H = G~ W^2 tracks the eigenvalue map mu -> mu p_k(mu)^2 toward 1
+where H — the TRUE Gram of the implicit iterate X = Y W — follows the
+eigenvalue map mu -> mu p_k(mu)^2 toward 1
 (the "polar express" acceleration of Newton--Schulz: each p_k is fit to
 mu^{-1/2} on the CURRENT eigenvalue interval [lo_k, 1] by Lawson-
 iterated least squares, so early iterations expand the small eigenvalues

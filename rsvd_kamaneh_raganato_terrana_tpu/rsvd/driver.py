@@ -476,7 +476,10 @@ def rsvd(
     parity, 'high'/'default' trade digits for throughput on TPU;
     'bf16' = 'default' numerics with A cast once to bf16 storage so
     every HBM-bound stage-A pass reads half the bytes — the throughput
-    mode for truncation-dominated spectra).
+    mode for truncation-dominated spectra; 'int8' = row-scaled int8
+    storage on the native int8 MXU path, ONE byte per element per pass
+    — the serving mode, pre-quantize with `quantize_int8_rows` when
+    factoring the same A repeatedly).
     """
     from jax.experimental import sparse as jsparse
 
