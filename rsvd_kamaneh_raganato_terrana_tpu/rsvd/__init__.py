@@ -128,6 +128,10 @@ from rsvd_kamaneh_raganato_terrana_tpu.rsvd.rlu import (  # noqa: F401
     rlu_reconstruct,
     rlu_solve,
 )
+from rsvd_kamaneh_raganato_terrana_tpu.rsvd.serving import (  # noqa: F401
+    prepare_operand,
+    rsvd_serving,
+)
 from rsvd_kamaneh_raganato_terrana_tpu.rsvd.utv import (  # noqa: F401
     rutv,
     rutv_reconstruct,
