@@ -519,13 +519,35 @@ def rsvd_sharded(
     from U afterwards — exact, because rsvd([A; 0]) yields ([U; 0], s, V)
     (zero rows contribute nothing to any Gram, sketch, or projection).
 
-    Accepts every ``rsvd`` keyword (p/q/method/precision/...).
+    Accepts every ``rsvd`` keyword (p/q/method/precision/...).  A
+    pre-quantized :class:`Int8Stored` operand works too (the multi-chip
+    serving layout): the int8 values pad with zero rows and the row
+    scales with ones — both exact, zero rows contribute nothing to any
+    product and their scale never multiplies data.
     """
     from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import (
         pad_rows_for_mesh,
         shard_rows,
     )
 
+    if isinstance(a, Int8Stored):
+        if a.transposed:
+            raise ValueError("rsvd_sharded shards ROWS: pass the "
+                             "untransposed Int8Stored")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        q_pad, rows = pad_rows_for_mesh(a.q8, mesh, row_axis)
+        pad = q_pad.shape[0] - rows
+        scale_pad = jnp.concatenate(
+            [a.row_scale, jnp.ones((pad,), a.row_scale.dtype)])
+        a_sh = Int8Stored(
+            shard_rows(q_pad, mesh, row_axis),
+            jax.device_put(scale_pad,
+                           NamedSharding(mesh, PartitionSpec(row_axis))),
+        )
+        kwargs.setdefault("precision", "int8")
+        u, s, v = rsvd(a_sh, k=k, **kwargs)
+        return u[:rows], s, v
     a = jnp.asarray(a)
     a_pad, rows = pad_rows_for_mesh(a, mesh, row_axis)
     a_sh = shard_rows(a_pad, mesh, row_axis)

@@ -260,3 +260,27 @@ class TestNoInteriorQR:
                                compute_uv=False)
         opt = float(np.sqrt((s_true[12:] ** 2).sum()))
         assert e < 1.2 * opt
+
+
+def test_rsvd_sharded_accepts_prequantized_operand():
+    """rsvd_sharded on an Int8Stored with RAGGED rows: the int8 values
+    pad with zero rows, the scales with ones — factors match the
+    replicated pre-quantized run."""
+    from jax.sharding import NamedSharding  # noqa: F401
+
+    from rsvd_kamaneh_raganato_terrana_tpu.core.mesh import make_mesh
+    from rsvd_kamaneh_raganato_terrana_tpu.rsvd.driver import rsvd_sharded
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    m = 64 * n_dev + 3                    # ragged
+    a = jnp.asarray(_decaying(m, 96, seed=21))
+    st = quantize_int8_rows(a)
+    mesh = make_mesh((n_dev,), ("rows",))
+    u1, s1, v1 = rsvd_sharded(st, mesh, k=8, p=8, q=2, method="eigh")
+    u2, s2, v2 = rsvd(st, k=8, p=8, q=2, method="eigh",
+                      precision="int8")
+    assert u1.shape == (m, 8)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
